@@ -1,0 +1,64 @@
+"""World/grid constants and SparkSession factory.
+
+The synthetic planar CRS covers ``[0, WORLD) x [0, WORLD)`` metres.  Cells at
+resolution ``r`` are squares of side ``WORLD / 2**r`` — a quadtree grid whose
+ids pack ``(res, ix, iy)`` into an int64 (see ``core.cells``).  This replaces
+the reference's EPSG:3577 Albers grid (reference __main__.py:155-195) with a
+self-contained planar frame so no geo libraries are needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+# World frame ------------------------------------------------------------
+WORLD = float(1 << 22)  # 4_194_304 m square world
+MAX_RES = 24  # finest representable cell: 0.25 m
+RES_BITS = 29  # bits for each of ix, iy in the packed cell id
+
+# Tile grid (mirrors the reference scene grid: resolution=(-30, 30),
+# reference tests/data/sum_wet.conflux.py:5)
+PIXEL_RES = 30.0  # metres per pixel
+
+# Base join resolution: cells of WORLD/2**13 = 512 m (a 64-px tile at 30 m/px
+# spans 1920 m, i.e. ~4x4 base cells + ancestors -> bounded join fan-out).
+BASE_RES = 13
+
+EPOCH = "2020-01-01"  # ts = EPOCH + ts_idx days for synthetic tiles
+
+
+def get_spark(app: str = "dea-conflux-spark", cpus: int | str | None = None,
+              shuffle_partitions: int | None = None, extra: dict | None = None):
+    """Create a local SparkSession tuned for this engine.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or '*'.  AQE is on (skew-join
+    splitting + partition coalescing are part of the engine's skew story,
+    SURVEY.md §4 O6).
+    """
+    from pyspark.sql import SparkSession
+
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, 2 * n)
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        .config("spark.executor.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,54 @@
+"""DrillSpec base contract (see package docstring)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class DrillSpec:
+    """A drill plugin.
+
+    Subclasses define:
+
+    * ``name``/``version`` — identity (written to lineage).
+    * ``transform(raw)`` — uint8 tile array -> dict of float64 band arrays
+      (NaN = masked/invalid, matching the reference's ``.where`` semantics).
+    * ``partial_fields`` — list of (name, spark_type) for per-(poly, tile)
+      partial aggregate columns.
+    * ``partials(bands, mask)`` — tuple of partial values for the pixels of
+      one polygon within one tile (``mask`` bool (h, w)).
+    * ``final_aggs()`` — list of Spark Columns over the partial columns,
+      aliased to the plugin's published metric names.
+    * ``summarise_numpy(bands_flat)`` — reference-faithful single-process
+      summarise over one polygon's full pixel bag (used by the oracle only;
+      mirrors the reference plugin's ``summarise``).
+    """
+
+    name = "base"
+    version = "0.0.1"
+
+    def transform(self, raw: np.ndarray) -> dict:
+        raise NotImplementedError
+
+    partial_fields: list = []
+
+    @property
+    def partial_schema(self) -> str:
+        base = "poly_id string, image_id string, ts timestamp"
+        extra = ", ".join(f"{n} {t}" for n, t in self.partial_fields)
+        return f"{base}, {extra}"
+
+    def partials(self, bands: dict, mask: np.ndarray) -> tuple:
+        raise NotImplementedError
+
+    def final_aggs(self):
+        raise NotImplementedError
+
+    @property
+    def output_metrics(self) -> list:
+        return [c for c, _ in self.output_fields]
+
+    output_fields: list = []
+
+    def summarise_numpy(self, bands_flat: dict) -> dict:
+        raise NotImplementedError
