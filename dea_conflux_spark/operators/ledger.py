@@ -1,0 +1,137 @@
+"""Checkpoint ledger, quarantine, and lineage/metrics tables.
+
+The reference's ops surface — SQS work queue + visibility timeout +
+dead-letter queue + existence-probe skip (reference queues.py:12-37,
+__main__.py:922-1019, io.py:103-143) — collapses into three small tables:
+
+* **ledger** — completed ``image_id``s; resuming a run anti-joins the work
+  list against it (idempotent, kill-safe: the ledger row is appended only
+  after the partition's output commit).
+* **quarantine** — rows that failed validation (undecodable bytes, phash or
+  caption mismatch), the dead-letter-queue parity; the drill simply never
+  sees them (semi-join on the validated set).
+* **lineage** — per-(image_id) drill metrics (candidate polygons, pixels
+  assigned) appended per run, the reference's per-run progress logging
+  (drill.py:524-552) made queryable.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..core import codec
+
+
+def validate_tiles(tiles: DataFrame) -> DataFrame:
+    """(image_id, ok, error) — decode + integrity check per tile.
+
+    A tile is valid iff its bytes decode to (h, w), the stored ``phash``
+    matches the decoded pixels, and the caption embeds the image_id
+    (the per-row caption-equality invariant from BASELINE.json input_hint).
+    Errors are captured per row, not raised — the reference's
+    warnings-as-errors policy (drill.py:652-655) routed to data instead of
+    exceptions.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            ids, oks, errs = [], [], []
+            for row in pdf.itertuples():
+                err = None
+                try:
+                    arr = codec.decode(row.bytes, int(row.h), int(row.w),
+                                       row.fmt)
+                    if row.fmt == "raw" and codec.phash64(arr) != int(row.phash):
+                        err = "phash mismatch"
+                    elif row.image_id not in (row.caption or ""):
+                        err = "caption mismatch"
+                except Exception as e:  # noqa: BLE001 — route to quarantine
+                    err = f"{type(e).__name__}: {e}"
+                ids.append(row.image_id)
+                oks.append(err is None)
+                errs.append(err or "")
+            yield pd.DataFrame({"image_id": ids, "ok": oks, "error": errs})
+
+    return tiles.mapInPandas(run, schema="image_id string, ok boolean, error string")
+
+
+def quarantine(tiles: DataFrame) -> DataFrame:
+    """Dead-letter rows (reference queues.py:30-37 parity)."""
+    v = validate_tiles(tiles)
+    return v.filter(~F.col("ok")).select("image_id", "error")
+
+
+def valid_tiles(tiles: DataFrame) -> DataFrame:
+    v = validate_tiles(tiles).filter("ok").select("image_id")
+    return tiles.join(v, "image_id", "left_semi")
+
+
+class Ledger:
+    """Parquet-backed completed-work ledger (reference io.py:103-143
+    existence probe, as an anti-join instead of per-file S3 HEADs)."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def completed(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], "image_id string")
+        return self.spark.read.parquet(self.path).select("image_id").distinct()
+
+    def remaining(self, tiles: DataFrame) -> DataFrame:
+        """Work not yet done — left-anti against the ledger (SURVEY.md A10)."""
+        return tiles.join(self.completed(), "image_id", "left_anti")
+
+    def mark_done(self, image_ids: DataFrame) -> None:
+        (image_ids.select("image_id").distinct()
+         .write.mode("append").parquet(self.path))
+
+
+def lineage_metrics(partials: DataFrame) -> DataFrame:
+    """Per-tile drill lineage from the partial rows: how many polygons and
+    pixels each tile contributed (reference's per-scene found-polygon
+    logging, drill.py:598, as a table)."""
+    agg = [F.countDistinct("poly_id").alias("n_polys")]
+    if "n_px" in partials.columns:
+        agg.append(F.sum("n_px").alias("n_px_assigned"))
+    return partials.groupBy("image_id").agg(*agg)
+
+
+def run_drill_resumable(tiles: DataFrame, polygons: DataFrame, plugin, grid,
+                        out_dir: str, ledger_path: str,
+                        batch_partitions: int | None = None) -> int:
+    """Checkpoint-resumable drill run (FIXTURES.md invariant 6).
+
+    Drills only tiles absent from the ledger, appends partial-aggregate
+    output partitioned by day, then appends the processed ids to the
+    ledger.  Because the final combine (groupBy poly_id, ts) is re-runnable
+    over the accumulated partials, a killed run restarts cleanly: rerun →
+    anti-join skips completed tiles → identical final output.
+
+    Returns the number of tiles drilled this invocation.
+    """
+    from .drill import drill_partials
+
+    spark = tiles.sparkSession
+    led = Ledger(spark, ledger_path)
+    todo = led.remaining(tiles)
+    n = todo.count()
+    if n == 0:
+        return 0
+    parts = drill_partials(todo, polygons, plugin, grid)
+    parts = parts.withColumn("day", F.date_format("ts", "yyyyMMdd"))
+    parts.write.mode("append").partitionBy("day").parquet(out_dir)
+    led.mark_done(todo.select("image_id"))
+    return n
+
+
+def finalize_drill(spark, out_dir: str, plugin) -> DataFrame:
+    """Final combine over accumulated partials (safe to run any time)."""
+    parts = spark.read.parquet(out_dir)
+    return parts.groupBy("poly_id", "ts").agg(*plugin.final_aggs())

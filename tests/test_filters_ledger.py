@@ -1,0 +1,99 @@
+"""Screening filters, validation/quarantine, and checkpoint-resume tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dea_conflux_spark import datagen, oracle
+from dea_conflux_spark.operators import drill as drill_op
+from dea_conflux_spark.operators import filters, ledger
+from dea_conflux_spark.operators.cover import polygon_cover_df
+from dea_conflux_spark.plugins import get_plugin
+
+
+def test_quick_filter(spark, polygons, grid):
+    x0, y0, x1, y1 = grid.extent
+    inside = filters.quick_filter(polygons, x0, y0, x1, y1).toPandas()
+    allp = polygons.toPandas()
+    exp = allp[(allp.cx >= x0) & (allp.cx <= x1)
+               & (allp.cy >= y0) & (allp.cy <= y1)]
+    assert set(inside.poly_id) == set(exp.poly_id)
+
+
+def test_bbox_filter_excludes_outside(spark, polygons, polys, grid):
+    x0, y0, x1, y1 = grid.extent
+    kept = filters.bbox_intersects_filter(polygons, x0, y0, x1, y1).toPandas()
+    out_pid = next(p for p in polys if p["kind"] == "outside")["poly_id"]
+    assert out_pid not in set(kept.poly_id)
+
+
+def test_overedge_interior_filter(spark, polygons, grid):
+    x0, y0, x1, y1 = grid.extent
+    kept = filters.overedge_interior_filter(polygons, x0, y0, x1, y1)
+    w, h = x1 - x0, y1 - y0
+    pdf = kept.toPandas()
+    assert (pdf.xmin > x0 - w).all() and (pdf.xmax < x1 + w).all()
+
+
+def test_screen_tiles_no_false_negatives(spark, tiles, polygons, grid, polys):
+    poly_cells = polygon_cover_df(polygons)
+    kept = set(r.image_id for r in
+               filters.screen_tiles(tiles, poly_cells, grid)
+               .select("image_id").collect())
+    assigned = oracle.oracle_assignments(grid, polys)
+    for r in assigned.itertuples():
+        for t in range(grid.T):
+            iid = datagen.image_id(t, r.gx, r.gy)
+            assert iid in kept, f"screen dropped a tile with pixels: {iid}"
+
+
+def test_validate_and_quarantine(spark, tiles_pdf):
+    bad = tiles_pdf.copy()
+    # corrupt one row's phash and another's caption
+    bad.loc[0, "phash"] = np.int64(12345)
+    bad.loc[1, "caption"] = "wrong"
+    df = spark.createDataFrame(bad, schema=datagen.TILE_SCHEMA)
+    q = ledger.quarantine(df).toPandas()
+    assert set(q["image_id"]) == {bad.loc[0, "image_id"], bad.loc[1, "image_id"]}
+    ok = ledger.valid_tiles(df)
+    assert ok.count() == len(bad) - 2
+
+
+def test_resumable_drill_converges(spark, tiles, polygons, grid, polys,
+                                   tiles_pdf, tmp_path):
+    """FIXTURES.md invariant 6: a run killed after a partial write converges
+    to identical output on rerun."""
+    plugin = get_plugin("waterbodies_c3")
+    out = str(tmp_path / "partials")
+    led = str(tmp_path / "ledger")
+
+    # simulate a partial (killed) run: only half the tiles
+    half_ids = sorted(tiles_pdf["image_id"])[: len(tiles_pdf) // 2]
+    half = tiles.filter(F.col("image_id").isin(half_ids))
+    n1 = ledger.run_drill_resumable(half, polygons, plugin, grid, out, led)
+    assert n1 == len(half_ids)
+
+    # resume with the full work list: only the remainder is drilled
+    n2 = ledger.run_drill_resumable(tiles, polygons, plugin, grid, out, led)
+    assert n2 == tiles.count() - n1
+
+    # third run: nothing left
+    assert ledger.run_drill_resumable(tiles, polygons, plugin, grid, out, led) == 0
+
+    final = ledger.finalize_drill(spark, out, plugin).toPandas()
+    exp = oracle.oracle_drill(grid, polys, tiles_pdf, plugin, partial=False)
+    final = final.sort_values(["poly_id", "ts"]).reset_index(drop=True)
+    exp = exp.sort_values(["poly_id", "ts"]).reset_index(drop=True)
+    assert list(final["poly_id"]) == list(exp["poly_id"])
+    np.testing.assert_allclose(final["px_wet"], exp["px_wet"], equal_nan=True)
+    np.testing.assert_allclose(final["pc_missing"], exp["pc_missing"],
+                               equal_nan=True)
+
+
+def test_lineage_metrics(spark, tiles, polygons, grid):
+    plugin = get_plugin("waterbodies_c3")
+    parts = drill_op.drill_partials(tiles, polygons, plugin, grid)
+    lin = ledger.lineage_metrics(parts).toPandas()
+    assert (lin["n_polys"] >= 1).all()
+    assert (lin["n_px_assigned"] > 0).all()
