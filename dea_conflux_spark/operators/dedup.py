@@ -1,0 +1,195 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+All hot paths are native Spark expressions (explode + groupBy + joins) over
+the shared deterministic ``md5i`` hash, so each operator is value-checkable
+against an exact DuckDB oracle.  At scale:
+
+* shingle explode is a narrow map; the candidate joins shuffle on the
+  shingle/band/bucket key (bounded fan-out by construction — LSH bands and
+  SimHash bands are fixed-width keys),
+* pair verification only runs on candidates, never on the n² cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .textqa import md5i, norm_text, tokens_col
+
+# MinHash parameters (shared with the SQL oracle — keep literal + tiny)
+MH_P = 1_000_000_007
+MH_NH = 16  # hash functions
+MH_BAND = 4  # rows per band -> 4 bands
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by md5 of normalised text: one row per content group
+    with the canonical (min) doc_id and the duplicate count."""
+    fp = F.md5(norm_text(F.col("text")))
+    return (docs.select(fp.alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") >= 1))
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct token n-grams."""
+    toks = tokens_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    return (docs.select("doc_id", F.explode(F.array_distinct(grams))
+                        .alias("shingle")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        tau: float = 0.4) -> DataFrame:
+    """Near-dup pairs by token n-gram Jaccard >= tau.
+
+    Candidate generation = self-equi-join on shingle (only pairs sharing at
+    least one shingle are scored); Jaccard from shared / (|A|+|B|-shared).
+    """
+    sh = _shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("id1"),
+                       F.col("b.doc_id").alias("id2"))
+              .agg(F.count("*").alias("shared")))
+    out = (shared
+           .join(sizes.withColumnRenamed("doc_id", "id1")
+                 .withColumnRenamed("n_sh", "n1"), "id1")
+           .join(sizes.withColumnRenamed("doc_id", "id2")
+                 .withColumnRenamed("n_sh", "n2"), "id2"))
+    jac = F.round(F.col("shared") /
+                  (F.col("n1") + F.col("n2") - F.col("shared")), 4)
+    return (out.select("id1", "id2", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= tau))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures: for hash j,
+    ``min((a_j * (md5i(shingle) % P) + b_j) % P)`` with a_j = 2j+1,
+    b_j = 7919 * j — small literal constants shared with the SQL oracle."""
+    sh = _shingles(docs, n).withColumn("h", md5i(F.col("shingle")) % MH_P)
+    js = F.explode(F.sequence(F.lit(0), F.lit(MH_NH - 1))).alias("j")
+    hj = ((F.col("h") * (2 * F.col("j") + 1) + F.lit(7919) * F.col("j"))
+          % MH_P)
+    per = (sh.select("doc_id", "h", js)
+           .select("doc_id", "j", hj.alias("hj"))
+           .groupBy("doc_id", "j").agg(F.min("hj").alias("mh")))
+    return (per.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "mh")))
+                 .alias("s"))
+            .select("doc_id",
+                    F.transform("s", lambda x: x["mh"]).alias("sig")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
+                      tau: float = 0.4) -> DataFrame:
+    """MinHash+LSH near-dup: band the signature (MH_BAND rows/band), join on
+    (band, band-hash) buckets, then verify candidates with true n-gram
+    Jaccard >= tau.  Only bucket-colliding pairs are ever verified."""
+    sigs = minhash_signatures(docs, n)
+    band_vals = F.transform(
+        F.slice(F.col("sig"), F.col("band") * MH_BAND + 1, MH_BAND),
+        lambda x: x.cast("string"))
+    bands = (sigs.select(
+        "doc_id", "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(MH_NH // MH_BAND - 1)))
+        .alias("band"))
+        .select("doc_id", "band",
+                F.md5(F.concat_ws(
+                    "_", F.col("band").cast("string"),
+                    F.concat_ws(",", band_vals))).alias("bh")))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id1"),
+                    F.col("b.doc_id").alias("id2")).distinct())
+    verified = ngram_jaccard_pairs(docs, n, tau)
+    return cand.join(verified, ["id1", "id2"], "inner")
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): 60-bit SimHash over tokens (term frequency
+    weighted).  Bit j is set iff the signed count of tokens with hash bit j
+    set is positive."""
+    toks = (docs.select("doc_id", F.explode(tokens_col(F.col("text")))
+                        .alias("tok"))
+            .withColumn("h", md5i(F.col("tok"))))
+    j = F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
+    # NB: F.shiftleft/shiftright only take int literals for numBits — use
+    # SQL expressions for column-valued shift amounts.
+    signed = F.when(
+        F.expr("shiftrightunsigned(h, j)").bitwiseAND(1) == 1,
+        F.lit(1)).otherwise(F.lit(-1))
+    per = (toks.select("doc_id", "h", j)
+           .select("doc_id", "j", signed.alias("s"))
+           .groupBy("doc_id", "j").agg(F.sum("s").alias("c")))
+    bits = F.when(F.col("c") > 0,
+                  F.expr("shiftleft(1L, j)")).otherwise(
+                      F.lit(0).cast("long"))
+    return (per.select("doc_id", bits.alias("b"))
+            .groupBy("doc_id").agg(F.sum("b").alias("simhash")))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 15-bit quarters of the 60-bit
+    hash (any pair within hamming distance <= 3 of a quarter collides on at
+    least one), verify with exact popcount of the XOR."""
+    sh = simhash(docs)
+    q = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q")
+    blocks = sh.select(
+        "doc_id", "simhash", q).select(
+        "doc_id", "simhash", "q",
+        F.expr("shiftrightunsigned(simhash, q * 15)")
+        .bitwiseAND((1 << 15) - 1).alias("block"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (a.join(b, (F.col("a.q") == F.col("b.q"))
+                   & (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id1"),
+                    F.col("b.doc_id").alias("id2"),
+                    F.col("a.simhash").alias("s1"),
+                    F.col("b.simhash").alias("s2")).distinct())
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (cand.select("id1", "id2", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def embedding_neardup_pairs(embeddings: DataFrame,
+                            tau: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup within each label block (label blocking
+    bounds the pair fan-out; at scale the block key would be an LSH bucket,
+    see similarity.lsh_topk)."""
+    e = embeddings.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
+        F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.round(dot / (nrm("a") * nrm("b")), 4)
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id1"),
+                    F.col("b.vec_id").alias("id2"),
+                    cos.alias("cosine"))
+            .filter(F.col("cosine") >= tau))
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Resolve near-dup pairs into a keep-set: drop every doc that appears
+    as the larger id in a pair (union-find-free approximation that is exact
+    when duplicate groups are cliques, which LSH verification yields)."""
+    drop = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti")

@@ -1,0 +1,111 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+Everything stays in native ``pyspark.sql.functions`` (JVM, codegen) — no
+Python in the hot path.  The shared deterministic 60-bit hash
+``md5i(x) = bigint(conv(substr(md5(x),1,15),16,10))`` is arithmetic both
+Spark and DuckDB compute identically, so every operator here has an exact
+SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+LANG_MARKERS = {
+    "en": ["the", "and", "with"],
+    "de": ["der", "und", "mit"],
+    "es": ["el", "la", "con"],
+    "fr": ["le", "et", "avec"],
+}
+
+
+def md5i(col) -> Column:
+    """Deterministic 60-bit integer hash (identical in DuckDB via
+    ``('0x' || substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def norm_text(col) -> Column:
+    """Lowercase, collapse whitespace/punctuation to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def tokens_col(col) -> Column:
+    return F.split(norm_text(col), r"\s+")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish subword piece count (every run of
+    letters-or-digits of length <= 4, longer words counted ceil(len/4))."""
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_pieces = F.aggregate(
+        toks, F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"))
+    return docs.select(
+        "doc_id", n_tok.alias("n_tokens"),
+        n_pieces.cast("long").alias("n_subword_pieces"))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: length, punctuation density, stopword
+    ratio, mean token length, and a blended 0-1 score."""
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[.,!?;:]"), 0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    mean_len = F.round(F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t).cast("long")) / n_tok, 4)
+    punct_ratio = F.round(n_punct / n_chars, 4)
+    stop_ratio = F.round(n_stop / n_tok, 4)
+    score = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.greatest(F.lit(0.0), F.lit(0.2) - punct_ratio), 4)
+    return docs.select(
+        "doc_id", n_chars.alias("n_chars_m"), n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),
+        mean_len.alias("mean_token_len"), score.alias("quality"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language id: count each language's marker tokens; predict
+    the argmax (ties / zero evidence -> 'unk').  Deterministic tie-break by
+    language code order."""
+    toks = tokens_col(F.col("text"))
+
+    def marker_count(markers):
+        # NB: F.filter treats a 2-arg lambda as (element, index) — a default
+        # arg would silently bind the index column; close over instead.
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    counts = {lang: marker_count(markers)
+              for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    pred = F.when(best <= 0, F.lit("unk"))
+    for lang in sorted(LANG_MARKERS):
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    sel = [F.col("doc_id")]
+    sel += [counts[lang].alias(f"n_{lang}") for lang in sorted(LANG_MARKERS)]
+    sel += [pred.alias("pred_lang")]
+    return docs.select(*sel)
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: whole-document md5 of normalised text plus a
+    min-sampled 4-gram fingerprint (min over token 4-gram hashes — the
+    hash-rolling analogue of winnowing with window = document)."""
+    toks = tokens_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2), F.element_at(toks, i + 3)))
+    min_gram = F.array_min(F.transform(grams, md5i))
+    return docs.select(
+        "doc_id", F.md5(norm_text(F.col("text"))).alias("doc_md5"),
+        min_gram.alias("min_gram_hash"))

@@ -1,0 +1,212 @@
+"""Tests for the training-data-pipeline operators: text analysis, dedup
+(exact / jaccard / minhash / simhash / embedding), similarity search, and
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dea_conflux_spark import datagen
+from dea_conflux_spark.operators import dedup, multimodal, similarity, textqa
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------- text
+
+def test_token_counts(spark, docs):
+    out = textqa.token_counts(docs).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    import re
+    for _, r in out.merge(pdf, on="doc_id").head(50).iterrows():
+        toks = re.sub(r"[^a-z0-9]+", " ", r["text"].lower()).strip().split()
+        assert r["n_tokens"] == len(toks)
+        assert r["n_subword_pieces"] == sum(-(-len(t) // 4) for t in toks)
+
+
+def test_quality_scores_bounds(docs):
+    out = textqa.quality_scores(docs).toPandas()
+    assert (out["punct_ratio"] >= 0).all()
+    assert (out["stop_ratio"].between(0, 1)).all()
+    assert out["quality"].notna().all()
+
+
+def test_lang_id_deterministic(docs):
+    out = textqa.lang_id(docs).toPandas()
+    assert set(out["pred_lang"]) <= {"unk", "en", "de", "es", "fr"}
+    out2 = textqa.lang_id(docs).toPandas()
+    pd.testing.assert_frame_equal(out.sort_values("doc_id").reset_index(drop=True),
+                                  out2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_fingerprints(docs):
+    out = textqa.fingerprints(docs).toPandas()
+    assert out["doc_md5"].str.len().eq(32).all()
+    assert out["min_gram_hash"].notna().all()
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_exact_dedup_finds_planted_dup(spark, docs):
+    # plant an exact duplicate (different doc_id, same text)
+    extra = docs.limit(1).withColumn("doc_id", F.lit(999_999))
+    d2 = docs.unionByName(extra)
+    out = dedup.exact_dedup(d2).toPandas()
+    assert (out["n_docs"] >= 2).any()
+    grp = out[out["n_docs"] >= 2].iloc[0]
+    assert grp["keep_id"] != 999_999  # canonical = min id
+
+
+def test_jaccard_pairs_vs_numpy(spark, docs):
+    got = dedup.ngram_jaccard_pairs(docs, n=3, tau=0.2).toPandas()
+    # numpy oracle on a subset
+    pdf = docs.toPandas()
+    import re
+    sh = {}
+    for r in pdf.itertuples():
+        toks = re.sub(r"[^a-z0-9]+", " ", r.text.lower()).strip().split()
+        if len(toks) < 3:
+            grams = {" ".join(toks)}
+        else:
+            grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        sh[r.doc_id] = grams
+    exp = []
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if round(j, 4) >= 0.2:
+                exp.append((a, b, round(j, 4)))
+    exp_df = pd.DataFrame(exp, columns=["id1", "id2", "jaccard"])
+    got = got.sort_values(["id1", "id2"]).reset_index(drop=True)
+    exp_df = exp_df.sort_values(["id1", "id2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
+
+
+def test_minhash_lsh_finds_planted_neardup(spark, docs):
+    base = docs.limit(1).toPandas().iloc[0]
+    words = base["text"].split()
+    mutated = " ".join(words[:-2] + ["zzz", "qqq"])  # high-jaccard variant
+    extra = pd.DataFrame([{"doc_id": 888_888, "text": mutated,
+                           "lang": base["lang"], "source": base["source"],
+                           "n_chars": len(mutated)}])
+    d2 = docs.unionByName(docs.sparkSession.createDataFrame(extra))
+    pairs = dedup.minhash_lsh_pairs(d2, n=3, tau=0.5).toPandas()
+    hit = pairs[(pairs.id1 == base["doc_id"]) & (pairs.id2 == 888_888)]
+    assert len(hit) == 1
+
+
+def test_simhash_close_for_neardups(spark, docs):
+    sh = dedup.simhash(docs.limit(20)).toPandas()
+    assert sh["simhash"].nunique() == len(sh)  # distinct docs -> distinct hashes
+    # a doc is hamming-0 from itself via pairs on a doubled table
+    dup = docs.limit(1).withColumn("doc_id", F.lit(777_777))
+    pairs = dedup.simhash_pairs(docs.limit(5).unionByName(dup),
+                                max_hamming=0).toPandas()
+    assert len(pairs) == 1 and pairs.iloc[0]["hamming"] == 0
+
+
+def test_embedding_neardup_pairs(embeddings):
+    out = dedup.embedding_neardup_pairs(embeddings, tau=0.9).toPandas()
+    assert (out["cosine"] >= 0.9).all()
+    assert (out["id1"] < out["id2"]).all()
+
+
+def test_dedup_keep_canonical(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id1 long, id2 long")
+    kept = dedup.dedup_keep_canonical(docs, pairs)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids and 2 not in ids
+
+
+# ------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def queries(spark, embeddings):
+    return (embeddings.filter("vec_id < 3")
+            .select(F.col("vec_id").cast("string").alias("qid"),
+                    F.col("embedding").alias("qv")))
+
+
+def test_brute_topk_matches_numpy(embeddings, queries):
+    got = similarity.brute_topk(embeddings, queries, k=5).toPandas()
+    pdf = embeddings.toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    for qid in ["0", "1", "2"]:
+        qv = V[ids == int(qid)][0]
+        cos = V @ qv / (np.linalg.norm(V, axis=1) * np.linalg.norm(qv))
+        order = np.lexsort((ids, -cos))[:5]
+        exp_ids = ids[order].tolist()
+        sub = got[got.qid == qid].sort_values("rank")
+        assert list(sub["vec_id"]) == exp_ids
+        np.testing.assert_allclose(sub["cosine"], np.round(cos[order], 4),
+                                   atol=2e-4)
+
+
+def test_ivf_topk_recall(embeddings, queries):
+    exact = similarity.brute_topk(embeddings, queries, k=5).toPandas()
+    approx = similarity.ivf_topk(embeddings, queries, k=5,
+                                 n_centroids=8, nprobe=4).toPandas()
+    # recall@5 over the 3 queries should be decent even with a toy index
+    hits = 0
+    for qid in ["0", "1", "2"]:
+        e = set(exact[exact.qid == qid]["vec_id"])
+        a = set(approx[approx.qid == qid]["vec_id"])
+        hits += len(e & a)
+    assert hits >= 9  # >= 60% recall
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_image_stats_matches_caption(spark, tiles):
+    out = multimodal.image_stats(tiles).toPandas().head(20)
+    caps = {r.image_id: r.caption for r in tiles.select(
+        "image_id", "caption").collect()}
+    for r in out.itertuples():
+        frac = float(caps[r.image_id].split("wet_frac=")[1])
+        assert abs(r.wet_frac - frac) < 1e-3
+
+
+def test_resize_images(spark, tiles):
+    out = multimodal.resize_images(tiles.limit(4), 16, 16).toPandas()
+    assert (out["w"] == 16).all() and (out["h"] == 16).all()
+    from dea_conflux_spark.core import codec
+    a = codec.decode(out.iloc[0]["bytes"], 16, 16, "raw")
+    assert a.shape == (16, 16)
+
+
+def test_frame_sample(spark):
+    rng = np.random.default_rng(1)
+    stack = rng.integers(0, 255, size=(30, 8, 8), dtype=np.uint8)
+    pdf = pd.DataFrame([{
+        "video_id": "v0", "bytes": stack.tobytes(), "w": np.int32(8),
+        "h": np.int32(8), "n_frames": np.int32(30), "fmt": "rawstack"}])
+    videos = spark.createDataFrame(
+        pdf, "video_id string, bytes binary, w int, h int, n_frames int, "
+             "fmt string")
+    frames = multimodal.frame_sample(videos, every_n=10).toPandas()
+    assert list(frames["image_id"]) == ["v0#f00000", "v0#f00010", "v0#f00020"]
+
+
+def test_external_codec_stubbed(spark):
+    pdf = pd.DataFrame([{"image_id": "x", "bytes": b"\xff\xd8", "w": np.int32(2),
+                         "h": np.int32(1), "fmt": "jpeg", "caption": "c",
+                         "phash": np.int64(0)}])
+    df = spark.createDataFrame(pdf, datagen.TILE_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|external codec"):
+        multimodal.image_stats(df).collect()
