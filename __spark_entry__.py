@@ -1,38 +1,482 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship polygon-drill end-to-end on a small
+deterministic synthetic tile grid (the engine's own input shape per
+BASELINE.json input_hint — tiles are synthesised, not read from testdata).
+``queries()``/``oracle_sql()`` cover the SURVEY.md §2 operator inventory on
+the driver's TPC-H-ish tables with exact DuckDB oracles; geospatial
+operators that have no relational analogue are included as rows-only
+checks (no oracle entry) and are golden-tested against the numpy oracle in
+``tests/``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from dea_conflux_spark import datagen, queries as Q  # noqa: E402
+from dea_conflux_spark.operators import drill as drill_op  # noqa: E402
+from dea_conflux_spark.operators import knn as knn_op  # noqa: E402
+from dea_conflux_spark.plugins import get_plugin  # noqa: E402
+
+# Small deterministic synthetic scene for the geospatial entries.
+_GRID = datagen.GridSpec(G=3, T=2, w=64, h=64)
+_POLYS = None
+
+
+def _synthetic(spark):
+    global _POLYS
+    if _POLYS is None:
+        _POLYS = datagen.make_polygons(_GRID, n_small=12, n_medium=2,
+                                       n_huge=1)
+    tiles = datagen.tiles_df(spark, _GRID, _POLYS)
+    polygons = datagen.polygons_df(spark, _POLYS)
+    return tiles, polygons
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wet/dry/invalid pixel fractions per waterbody per timestep
+    (cell-cover equi-join + exact PIP refine + zonal aggregation)."""
+    tiles, polygons = _synthetic(spark)
+    return drill_op.drill(tiles, polygons, get_plugin("waterbodies_c3"),
+                          _GRID, partial=True)
+
+
+def _flagship_drill(spark, sf_dir):
+    return entry(spark)
+
+
+def _sum_wet_drill(spark, sf_dir):
+    tiles, polygons = _synthetic(spark)
+    return drill_op.drill(tiles, polygons, get_plugin("sum_wet"), _GRID,
+                          partial=False)
+
+
+def _knn_points(spark, sf_dir):
+    import pandas as pd
+
+    tiles, polygons = _synthetic(spark)
+    x0, y0, x1, y1 = _GRID.extent
+    n = 40
+    import numpy as np
+    rng = np.random.default_rng(11)
+    qpdf = pd.DataFrame({
+        "qid": [f"q{i:03d}" for i in range(n)],
+        "qx": rng.uniform(x0, x1, n), "qy": rng.uniform(y0, y1, n)})
+    qdf = spark.createDataFrame(qpdf, "qid string, qx double, qy double")
+    return knn_op.knn_nearest(qdf, polygons, k=2, res=9, ring=1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # aggregations / scans
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q3_shipping_priority": Q.q3_shipping_priority,
+        "q5_nation_revenue": Q.q5_nation_revenue,
+        "monthly_order_stats": Q.monthly_order_stats,
+        "pivot_orderstatus": Q.pivot_orderstatus,
+        "bitwise_linenumber_flags": Q.bitwise_linenumber_flags,
+        # windows
+        "topk_orders_per_customer": Q.topk_orders_per_customer,
+        "day_dedup_best_events": Q.day_dedup_best_events,
+        "event_lead_delta": Q.event_lead_delta,
+        "running_total_per_customer": Q.running_total_per_customer,
+        "sessionize_events": Q.sessionize_events,
+        "asof_signup_before_purchase": Q.asof_signup_before_purchase,
+        "range_join_error_context": Q.range_join_error_context,
+        # joins / set ops / scalars
+        "customers_without_orders": Q.customers_without_orders,
+        "customers_with_orders": Q.customers_with_orders,
+        "union_distinct_keys": Q.union_distinct_keys,
+        "intersect_nation_keys": Q.intersect_nation_keys,
+        "orderkey_chunk_slice": Q.orderkey_chunk_slice,
+        "events_json_extract": Q.events_json_extract,
+        # documents / text analysis
+        "doc_token_counts": Q.doc_token_counts,
+        "doc_quality_scores": Q.doc_quality_scores,
+        "doc_lang_id": Q.doc_lang_id,
+        "doc_fingerprints": Q.doc_fingerprints,
+        # dedup family
+        "docs_exact_dedup": Q.docs_exact_dedup,
+        "docs_ngram_jaccard_pairs": Q.docs_ngram_jaccard_pairs,
+        "docs_minhash_rows": Q.docs_minhash_rows,
+        "docs_simhash": Q.docs_simhash,
+        "docs_simhash_pairs": Q.docs_simhash_pairs,
+        "embedding_neardup": Q.embedding_neardup,
+        # similarity search
+        "ann_brute_topk": Q.ann_brute_topk,
+        "ann_ivf_topk": Q.ann_ivf_topk,
+        # geospatial (rows-only: no relational analogue on these tables)
+        "flagship_drill": _flagship_drill,
+        "sum_wet_drill": _sum_wet_drill,
+        "knn_points": _knn_points,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- shared SQL fragments (DuckDB dialect) -------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_STOP = "('the','a','and','of','to','in','is','on','for','with')"
+_DEC1 = "CAST(1 AS DECIMAL(18,4))"
+
+
+def _dec(c):
+    return f"CAST({c} AS DECIMAL(18,4))"
+
+
+_REV = (f"{_dec('l_extendedprice')} * ({_DEC1} - {_dec('l_discount')})")
+
+_EMB_COS = ("list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * "
+            "sqrt(list_dot_product({b}, {b})))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql = {}
+
+    sql["q1_pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM({_dec('l_quantity')}) AS DOUBLE) AS sum_qty,
+               CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM({_REV}), 4) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sql["q3_shipping_priority"] = f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(ROUND(SUM({_REV}), 4) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+
+    sql["q5_nation_revenue"] = f"""
+        SELECT n_name, r_name,
+               CAST(ROUND(SUM({_REV}), 4) AS DOUBLE) AS revenue,
+               COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+        ORDER BY n_name
+    """
+
+    sql["monthly_order_stats"] = f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               COUNT(*) AS n_orders,
+               CAST(SUM({_dec('o_totalprice')}) AS DOUBLE) AS total,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY 1 ORDER BY month
+    """
+
+    sql["pivot_orderstatus"] = """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    sql["bitwise_linenumber_flags"] = """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN (l_linenumber & 1) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bit0,
+               CAST(SUM(CASE WHEN (l_linenumber & 2) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bit1,
+               CAST(SUM(CASE WHEN (l_linenumber & 4) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bit2
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    sql["topk_orders_per_customer"] = """
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              FROM orders)
+        WHERE rnk <= 3
+    """
+
+    sql["day_dedup_best_events"] = """
+        WITH best AS (
+          SELECT user_id, event_id, ts, value FROM (
+            SELECT user_id, event_id, ts, value,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                     ORDER BY value ASC, ts ASC, event_id) AS rn
+            FROM events) WHERE rn = 1),
+        wk AS (
+          SELECT user_id, event_id, ts, value,
+                 LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS nxt,
+                 epoch_us(ts) AS cur
+          FROM best)
+        SELECT user_id, event_id, ts, value
+        FROM wk WHERE nxt IS NULL OR nxt - cur >= 60000000
+    """
+
+    sql["event_lead_delta"] = """
+        SELECT user_id, event_id, ts,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) - epoch_us(ts) AS next_delta_us
+        FROM events
+    """
+
+    sql["running_total_per_customer"] = f"""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM({_dec('o_totalprice')}) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS running_total
+        FROM orders
+    """
+
+    sql["sessionize_events"] = """
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events),
+        s AS (
+          SELECT user_id, event_id,
+                 SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM g),
+        per AS (SELECT user_id, sess, COUNT(*) AS n FROM s GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_sessions,
+               floor((AVG(n)) * 10000 + 0.5) / 10000.0 AS mean_session_rows
+        FROM per GROUP BY user_id ORDER BY user_id
+    """
+
+    sql["asof_signup_before_purchase"] = """
+        SELECT user_id, event_id, ts, last_signup_ts FROM (
+          SELECT user_id, event_id, ts, event_type,
+                 MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_signup_ts
+          FROM events)
+        WHERE event_type = 'purchase'
+    """
+
+    sql["range_join_error_context"] = """
+        SELECT err_id, COUNT(*) AS n_prior
+        FROM (SELECT user_id AS u, event_id AS err_id, ts AS err_ts
+              FROM events WHERE event_type = 'error') err
+        JOIN events e ON e.user_id = err.u
+             AND e.ts >= err.err_ts - INTERVAL 1 HOUR
+             AND e.ts < err.err_ts
+        GROUP BY err_id ORDER BY err_id
+    """
+
+    sql["customers_without_orders"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """
+
+    sql["customers_with_orders"] = """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """
+
+    sql["union_distinct_keys"] = """
+        SELECT DISTINCT key FROM (
+          SELECT c_custkey AS key FROM customer
+          UNION ALL SELECT s_suppkey AS key FROM supplier)
+        ORDER BY key
+    """
+
+    sql["intersect_nation_keys"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        INTERSECT
+        SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+        ORDER BY nk
+    """
+
+    sql["orderkey_chunk_slice"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_orderkey % 8 = 3
+    """
+
+    sql["events_json_extract"] = """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """
+
+    sql["doc_token_counts"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id, len(toks) AS n_tokens,
+               CAST(list_sum(list_transform(toks,
+                    x -> CAST(ceil(length(x) / 4.0) AS INT))) AS BIGINT)
+                 AS n_subword_pieces
+        FROM t
+    """
+
+    sql["doc_quality_scores"] = f"""
+        WITH t AS (
+          SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        m AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_m,
+                 len(toks) AS n_tokens,
+                 floor((len(regexp_extract_all(text, '[.,!?;:]')) / length(text)) * 10000 + 0.5) / 10000.0 AS punct_ratio,
+                 floor((len(list_filter(toks, x -> x IN {_STOP})) / len(toks)) * 10000 + 0.5) / 10000.0 AS stop_ratio,
+                 floor((list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) / len(toks)) * 10000 + 0.5) / 10000.0 AS mean_token_len
+          FROM t)
+        SELECT doc_id, n_chars_m, n_tokens, punct_ratio, stop_ratio,
+               mean_token_len,
+               floor((least(1.0, n_tokens / 100.0) * 0.5 + stop_ratio * 0.3 + greatest(0.0, 0.2 - punct_ratio)) * 10000 + 0.5) / 10000.0 AS quality
+        FROM m
+    """
+
+    marker = {
+        "de": "('der','und','mit')", "en": "('the','and','with')",
+        "es": "('el','la','con')", "fr": "('le','et','avec')",
+    }
+    cnt = {k: f"len(list_filter(toks, x -> x IN {v}))"
+           for k, v in marker.items()}
+    sql["doc_lang_id"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        c AS (SELECT doc_id,
+                     {cnt['de']} AS n_de, {cnt['en']} AS n_en,
+                     {cnt['es']} AS n_es, {cnt['fr']} AS n_fr
+              FROM t)
+        SELECT doc_id, n_de, n_en, n_es, n_fr,
+               CASE WHEN greatest(n_de, n_en, n_es, n_fr) <= 0 THEN 'unk'
+                    WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+                    WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+                    WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM c
+    """
+
+    h_g = _H60.format(x="g")
+    sql["doc_fingerprints"] = f"""
+        WITH t AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+                   FROM documents)
+        SELECT doc_id, md5(norm) AS doc_md5,
+               list_min(list_transform(
+                 list_transform(generate_series(1, greatest(len(toks) - 3, 1)),
+                                i -> array_to_string(toks[i:i+3], ' ')),
+                 g -> {h_g})) AS min_gram_hash
+        FROM t
+    """
+
+    sql["docs_exact_dedup"] = f"""
+        SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+    """
+
+    _SHINGLES = f"""
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS grams
+              FROM t),
+        s AS (SELECT doc_id, unnest(grams) AS shingle FROM g)
+    """
+
+    sql["docs_ngram_jaccard_pairs"] = f"""
+        WITH {_SHINGLES},
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+               FROM s a JOIN s b ON a.shingle = b.shingle
+                    AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT id1, id2,
+               floor((shared / (n1.n_sh + n2.n_sh - shared)) * 10000 + 0.5) / 10000.0 AS jaccard
+        FROM sh
+        JOIN sz n1 ON n1.doc_id = id1
+        JOIN sz n2 ON n2.doc_id = id2
+        WHERE floor((shared / (n1.n_sh + n2.n_sh - shared)) * 10000 + 0.5) / 10000.0 >= 0.2
+    """
+
+    h_sh = _H60.format(x="shingle")
+    sql["docs_minhash_rows"] = f"""
+        WITH {_SHINGLES},
+        h AS (SELECT doc_id, {h_sh} % 1000000007 AS hm FROM s)
+        SELECT doc_id, CAST(j AS INT) AS j,
+               MIN((hm * (2 * j + 1) + 7919 * j) % 1000000007) AS mh
+        FROM h CROSS JOIN generate_series(0, 15) t2(j)
+        GROUP BY doc_id, j
+    """
+
+    h_tok = _H60.format(x="tok")
+    _SIMHASH = f"""
+        tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        hh AS (SELECT doc_id, {h_tok} AS h FROM tok),
+        p AS (SELECT doc_id, j,
+                     SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+              FROM hh CROSS JOIN generate_series(0, 59) t2(j)
+              GROUP BY doc_id, j),
+        sim AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN c > 0
+                                THEN (CAST(1 AS BIGINT) << j)
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM p GROUP BY doc_id)
+    """
+
+    sql["docs_simhash"] = f"WITH {_SIMHASH} SELECT doc_id, simhash FROM sim"
+
+    sql["docs_simhash_pairs"] = f"""
+        WITH {_SIMHASH},
+        blk AS (SELECT doc_id, simhash, q,
+                       (simhash >> (q * 15)) & 32767 AS block
+                FROM sim CROSS JOIN generate_series(0, 3) t3(q)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                        a.simhash AS s1, b.simhash AS s2
+                 FROM blk a JOIN blk b ON a.q = b.q AND a.block = b.block
+                      AND a.doc_id < b.doc_id)
+        SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(s1, s2)) <= 12
+    """
+
+    cos_ab = _EMB_COS.format(a="a.v", b="b.v")
+    sql["embedding_neardup"] = f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               floor(({cos_ab}) * 10000 + 0.5) / 10000.0 AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE floor(({cos_ab}) * 10000 + 0.5) / 10000.0 >= 0.8
+    """
+
+    cos_qv = _EMB_COS.format(a="qv", b="v")
+    _ANN = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT CAST(vec_id AS VARCHAR) AS qid, v AS qv
+              FROM e WHERE vec_id < 3),
+        sc AS (SELECT qid, vec_id, {cos_qv} AS cr FROM e CROSS JOIN q),
+        r AS (SELECT qid, vec_id, cr,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cr DESC, vec_id) AS rank
+              FROM sc)
+        SELECT qid, vec_id, floor((cr) * 10000 + 0.5) / 10000.0 AS cosine, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+    """
+    sql["ann_brute_topk"] = _ANN
+    # full-probe IVF (nprobe = n_centroids) is exact -> same oracle
+    sql["ann_ivf_topk"] = _ANN
+
+    return sql

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .textqa import md5i, norm_text, tokens_col
+from .textqa import md5i, norm_text, round4, tokens_col
 
 # MinHash parameters (shared with the SQL oracle — keep literal + tiny)
 MH_P = 1_000_000_007
@@ -66,8 +66,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                  .withColumnRenamed("n_sh", "n1"), "id1")
            .join(sizes.withColumnRenamed("doc_id", "id2")
                  .withColumnRenamed("n_sh", "n2"), "id2"))
-    jac = F.round(F.col("shared") /
-                  (F.col("n1") + F.col("n2") - F.col("shared")), 4)
+    jac = round4(F.col("shared") /
+                 (F.col("n1") + F.col("n2") - F.col("shared")))
     return (out.select("id1", "id2", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= tau))
 
@@ -178,7 +178,7 @@ def embedding_neardup_pairs(embeddings: DataFrame,
         F.lit(0.0), lambda acc, x: acc + x)
     nrm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
         F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    cos = F.round(dot / (nrm("a") * nrm("b")), 4)
+    cos = round4(dot / (nrm("a") * nrm("b")))
     return (a.join(b, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("id1"),

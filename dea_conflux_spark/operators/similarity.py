@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from .textqa import round4
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -42,7 +44,7 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame,
     w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("qid", "vec_id", F.round("cos_raw", 4).alias("cosine"),
+            .select("qid", "vec_id", round4(F.col("cos_raw")).alias("cosine"),
                     "rank"))
 
 
@@ -85,5 +87,5 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("qid", "vec_id", F.round("cos_raw", 4).alias("cosine"),
+            .select("qid", "vec_id", round4(F.col("cos_raw")).alias("cosine"),
                     "rank"))

@@ -27,6 +27,13 @@ def md5i(col) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def round4(col) -> Column:
+    """Explicit half-up 4-dp rounding as pure float arithmetic —
+    ``floor(x*10000 + 0.5)/10000`` — so Spark and DuckDB produce the exact
+    same double (builtin round() differs between engines at .5 ties)."""
+    return F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)
+
+
 def norm_text(col) -> Column:
     """Lowercase, collapse whitespace/punctuation to single spaces, trim."""
     return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
@@ -57,15 +64,15 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n_chars = F.length("text")
     n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[.,!?;:]"), 0))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    mean_len = F.round(F.aggregate(
+    mean_len = round4(F.aggregate(
         toks, F.lit(0).cast("long"),
-        lambda acc, t: acc + F.length(t).cast("long")) / n_tok, 4)
-    punct_ratio = F.round(n_punct / n_chars, 4)
-    stop_ratio = F.round(n_stop / n_tok, 4)
-    score = F.round(
+        lambda acc, t: acc + F.length(t).cast("long")) / n_tok)
+    punct_ratio = round4(n_punct / n_chars)
+    stop_ratio = round4(n_stop / n_tok)
+    score = round4(
         F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
         + stop_ratio * 0.3
-        + F.greatest(F.lit(0.0), F.lit(0.2) - punct_ratio), 4)
+        + F.greatest(F.lit(0.0), F.lit(0.2) - punct_ratio))
     return docs.select(
         "doc_id", n_chars.alias("n_chars_m"), n_tok.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),

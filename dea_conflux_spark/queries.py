@@ -1,0 +1,299 @@
+"""Relational operator demos for the driver's DuckDB-oracle gate.
+
+Every entry maps a SURVEY.md §2 operator family onto the driver's TPC-H-ish
+tables (region nation customer supplier part orders lineitem events
+documents embeddings).  Each function takes ``(spark, sf_dir)`` and returns
+a DataFrame whose column names match the corresponding oracle SQL exactly
+(the driver compares value-hashes after sorting columns by name).
+
+Determinism rules used throughout (and mirrored in the SQL):
+* money sums go through DECIMAL(18,4) so addition is exact in both engines,
+* float outputs are rounded to 4 dp,
+* time deltas use exact integer microseconds (unix_micros / epoch_us).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .operators import dedup, similarity, textqa
+from .operators.textqa import round4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col):
+    return F.col(col).cast("decimal(18,4)")
+
+
+# ----------------------------------------------------------- aggregations
+
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)")
+                                       - _dec("l_discount")))
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(_dec("l_extendedprice")).cast("double")
+                 .alias("sum_base_price"),
+                 F.round(F.sum(disc), 4).cast("double").alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q3_shipping_priority(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = F.sum((_dec("l_extendedprice")
+                 * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(rev, 4).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+def q5_nation_revenue(spark, sf):
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = F.sum((_dec("l_extendedprice")
+                 * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name", "r_name")
+            .agg(F.round(rev, 4).cast("double").alias("revenue"),
+                 F.countDistinct("o_orderkey").alias("n_orders"))
+            .orderBy("n_name"))
+
+
+def monthly_order_stats(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+                 F.countDistinct("o_custkey").alias("n_customers"))
+            .orderBy("month"))
+
+
+def pivot_orderstatus(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, ["O", "F", "P"])
+            .orderBy("o_orderpriority"))
+
+
+def bitwise_linenumber_flags(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    aggs = [
+        F.sum(((F.col("l_linenumber").bitwiseAND(1 << b)) > 0).cast("long"))
+        .alias(f"bit{b}") for b in range(3)
+    ]
+    return li.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------- windows
+
+def topk_orders_per_customer(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rnk"))
+
+
+def day_dedup_best_events(spark, sf):
+    """The D3 dedup window on the events table: per (user, day) keep the
+    min-value event (ties by ts), then drop rows whose successor is < 60 s
+    later (midnight-wrap rule) — the exact stacking semantics
+    (reference stack.py:174-205) on relational data."""
+    e = _t(spark, sf, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    w1 = W.partitionBy("user_id", day.alias("day")).orderBy(
+        F.col("value").asc(), F.col("ts").asc(), F.col("event_id"))
+    best = (e.withColumn("rn", F.row_number().over(w1))
+            .filter("rn = 1").drop("rn"))
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w2)
+    keep = nxt.isNull() | (nxt - F.unix_micros(F.col("ts").cast("timestamp")) >= 60_000_000)
+    return (best.withColumn("k", keep).filter("k")
+            .select("user_id", "event_id", "ts", "value"))
+
+
+def event_lead_delta(spark, sf):
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w) - F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select("user_id", "event_id", "ts",
+                    delta.alias("next_delta_us"))
+
+
+def running_total_per_customer(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, 0))
+    run = F.sum(_dec("o_totalprice")).over(w).cast("double")
+    return o.select("o_custkey", "o_orderkey", run.alias("running_total"))
+
+
+def sessionize_events(spark, sf):
+    """Sessionization: a new session starts after a >30 min gap; output
+    per-user session count and mean session length (rows)."""
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0))
+    per = (e.withColumn("sess", sess)
+           .groupBy("user_id", "sess").agg(F.count("*").alias("n")))
+    return (per.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 round4(F.avg("n")).alias("mean_session_rows"))
+            .orderBy("user_id"))
+
+
+def asof_signup_before_purchase(spark, sf):
+    """As-of join (SURVEY.md §2.C4): for each purchase event, the most
+    recent signup time of the same user at-or-before it — expressed as a
+    running max over the interleaved event stream (no per-row Python, no
+    merge_asof)."""
+    e = _t(spark, sf, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    return (e.withColumn("last_signup_ts", last_signup)
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "ts", "last_signup_ts"))
+
+
+def range_join_error_context(spark, sf):
+    """Range join (SURVEY.md §2.C5): per error event, how many events the
+    same user produced in the preceding hour."""
+    e = _t(spark, sf, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"))
+    j = err.join(e, (e.user_id == err.u)
+                 & (e.ts >= err.err_ts - F.expr("INTERVAL 1 HOUR"))
+                 & (e.ts < err.err_ts))
+    return (j.groupBy("err_id").agg(F.count("*").alias("n_prior"))
+            .orderBy("err_id"))
+
+
+# ------------------------------------------------------- joins / set ops
+
+def customers_without_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+def customers_with_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_acctbal").orderBy("c_custkey"))
+
+
+def union_distinct_keys(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+    s = _t(spark, sf, "supplier").select(F.col("s_suppkey").alias("key"))
+    return c.union(s).distinct().orderBy("key")
+
+
+def intersect_nation_keys(spark, sf):
+    c = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nk"))
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nk"))
+    return c.intersect(s).orderBy("nk")
+
+
+def orderkey_chunk_slice(spark, sf):
+    """Deterministic sharding predicate (reference stack.py:723
+    split_num/index_num)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_orderkey") % 8 == 3)
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+def events_json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.select("event_id",
+                     F.get_json_object("props", "$.k").cast("long")
+                     .alias("k_val"))
+            .filter(F.col("k_val") > 50))
+
+
+# ----------------------------------------------------- documents / text
+
+def doc_token_counts(spark, sf):
+    return textqa.token_counts(_t(spark, sf, "documents"))
+
+
+def doc_quality_scores(spark, sf):
+    return textqa.quality_scores(_t(spark, sf, "documents"))
+
+
+def doc_lang_id(spark, sf):
+    return textqa.lang_id(_t(spark, sf, "documents"))
+
+
+def doc_fingerprints(spark, sf):
+    return textqa.fingerprints(_t(spark, sf, "documents"))
+
+
+def docs_exact_dedup(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+def docs_ngram_jaccard_pairs(spark, sf):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, tau=0.2)
+
+
+def docs_minhash_rows(spark, sf):
+    sig = dedup.minhash_signatures(_t(spark, sf, "documents"), n=3)
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("j", "mh"))
+
+
+def docs_simhash(spark, sf):
+    return dedup.simhash(_t(spark, sf, "documents"))
+
+
+def docs_simhash_pairs(spark, sf):
+    return dedup.simhash_pairs(_t(spark, sf, "documents"), max_hamming=12)
+
+
+def embedding_neardup(spark, sf):
+    return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"), tau=0.8)
+
+
+def ann_brute_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = (e.filter("vec_id < 3")
+         .select(F.col("vec_id").cast("string").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    return similarity.brute_topk(e, q, k=5)
+
+
+def ann_ivf_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = (e.filter("vec_id < 3")
+         .select(F.col("vec_id").cast("string").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    return similarity.ivf_topk(e, q, k=5, n_centroids=16, nprobe=16)

@@ -1,0 +1,58 @@
+"""Incremental / NRT drill via Structured Streaming.
+
+The reference's queue-driven loop (SQS receive → drill → write → ack,
+reference __main__.py:606-797 ``nrt_run_from_queue``) maps to a file-source
+stream over the tile table with ``foreachBatch``: each micro-batch runs the
+same drill-partials pipeline and appends to the partials store; the ledger
+semantics (exactly-once per tile) come from the streaming checkpoint.  The
+final combine stays a batch query over accumulated partials (dedup is
+quality-based, not time-windowed — SURVEY.md §2.I: do NOT model it as a
+watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..datagen import TILE_SCHEMA, GridSpec
+from ..operators.drill import drill_partials
+
+
+def nrt_drill_stream(spark, tiles_path: str, polygons, plugin,
+                     grid: GridSpec, out_dir: str, checkpoint: str,
+                     trigger_available_now: bool = True):
+    """Start (and return) a streaming query that drills tiles as their
+    files land in ``tiles_path``, appending per-(poly, tile) partials to
+    ``out_dir`` partitioned by day."""
+    stream = (spark.readStream.schema(TILE_SCHEMA)
+              .option("maxFilesPerTrigger", 8)
+              .parquet(tiles_path))
+
+    def run_batch(batch_df, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        parts = drill_partials(batch_df, polygons, plugin, grid)
+        (parts.withColumn("day", F.date_format("ts", "yyyyMMdd"))
+         .write.mode("append").partitionBy("day").parquet(out_dir))
+
+    writer = (stream.writeStream.foreachBatch(run_batch)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_tile_counts(spark, tiles_path: str):
+    """Streaming windowed aggregation demo over the tile stream: tiles per
+    day window keyed by timestep, with a watermark for late data — the
+    engine's ``F.window`` surface (SURVEY.md §2.I)."""
+    stream = (spark.readStream.schema(TILE_SCHEMA).parquet(tiles_path)
+              .withColumn("ts_idx", F.regexp_extract(
+                  "image_id", r"^t(\d+)_", 1).cast("int"))
+              .withColumn("ts", F.timestamp_add(
+                  "DAY", F.col("ts_idx"),
+                  F.lit("2020-01-01").cast("timestamp"))))
+    return (stream.withWatermark("ts", "2 days")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(F.count("*").alias("n_tiles"),
+                 F.avg(F.length("bytes")).alias("avg_bytes")))
