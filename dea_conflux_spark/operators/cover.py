@@ -39,5 +39,7 @@ def polygon_cover_df(polygons: DataFrame, base_res: int = BASE_RES,
                 "full": np.asarray(out_full, dtype=bool),
             })
 
-    return polygons.select("poly_id", "ordinal", "rings").mapInPandas(
-        cover, schema=COVER_SCHEMA)
+    n = polygons.sparkSession.sparkContext.defaultParallelism
+    return (polygons.select("poly_id", "ordinal", "rings")
+            .repartition(n)
+            .mapInPandas(cover, schema=COVER_SCHEMA))

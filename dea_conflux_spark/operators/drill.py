@@ -53,24 +53,52 @@ def _prepared_polys(polygons: DataFrame) -> dict:
             for r in rows}
 
 
+def footprint_candidates(meta: DataFrame, poly_cells: DataFrame,
+                         grid: GridSpec, base_res: int = BASE_RES,
+                         broadcast_cover: bool = True) -> DataFrame:
+    """(gx, gy, cand_polys array<string>) per DISTINCT tile footprint.
+
+    Tiles at the same grid slot share one bbox regardless of timestep, so
+    the cell join runs once per footprint, not once per tile — the
+    candidate table stays tiny (grid-slot cardinality) and broadcasts
+    cheaply no matter how many timesteps the tile table holds.  ``meta``
+    is the placement table from ``tile_meta`` (callers with an external
+    catalog can pass a cheap metadata-only source instead of re-scanning
+    the full tile table)."""
+    fps = meta.select("gx", "gy", "x0", "y0", "x1", "y1").distinct()
+    fps = fps.withColumn(
+        "image_id", F.format_string("t0000_x%03d_y%03d", "gx", "gy"))
+    fcells = tile_cells(fps, base_res=base_res)
+    fcells = fcells.select(
+        F.regexp_extract("image_id", r"_x(\d+)_", 1).cast("int").alias("gx"),
+        F.regexp_extract("image_id", r"_y(\d+)$", 1).cast("int").alias("gy"),
+        "cell")
+    cover = poly_cells.select("cell", "poly_id")
+    if broadcast_cover:
+        cover = F.broadcast(cover)
+    return (fcells.join(cover, "cell")
+            .groupBy("gx", "gy")
+            .agg(F.collect_set("poly_id").alias("cand_polys")))
+
+
 def candidate_pairs(tiles: DataFrame, poly_cells: DataFrame, grid: GridSpec,
                     base_res: int = BASE_RES,
                     broadcast_cover: bool = True) -> DataFrame:
     """(image_id, poly_id) pairs whose tile bbox overlaps the polygon's cell
     cover."""
     meta = tile_meta(tiles, grid)
-    tcells = tile_cells(meta, base_res=base_res)
-    cover = poly_cells.select("cell", "poly_id")
-    if broadcast_cover:
-        cover = F.broadcast(cover)
-    return (tcells.join(cover, "cell")
-            .select("image_id", "poly_id").distinct())
+    fc = footprint_candidates(meta, poly_cells, grid, base_res,
+                              broadcast_cover)
+    return (meta.select("image_id", "gx", "gy")
+            .join(F.broadcast(fc), ["gx", "gy"])
+            .select("image_id", F.explode("cand_polys").alias("poly_id")))
 
 
 def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                    grid: GridSpec, *, base_res: int = BASE_RES,
                    broadcast_cover: bool = True,
-                   broadcast_cands: bool = True) -> DataFrame:
+                   broadcast_cands: bool = True,
+                   meta: DataFrame | None = None) -> DataFrame:
     """Per-(polygon, tile) partial aggregates:
     ``(poly_id, image_id, ts, <partial cols>)``.  This is the map-side
     combine stage; ``drill`` folds it into final metrics.  Exposed
@@ -79,13 +107,25 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
     spark = tiles.sparkSession
     sc = spark.sparkContext
 
+    # The cover table is the small join side — cache it so the several
+    # actions inside one drill (candidate join, partials, final agg) don't
+    # recompute the quadtree covers.
     poly_cells = polygon_cover_df(polygons, base_res=base_res)
-    cand = candidate_pairs(tiles, poly_cells, grid, base_res, broadcast_cover)
-    cand_lists = cand.groupBy("image_id").agg(
-        F.collect_list("poly_id").alias("cand_polys"))
+    meta_src = meta if meta is not None else tile_meta(tiles, grid)
+    fc = footprint_candidates(meta_src, poly_cells, grid, base_res,
+                              broadcast_cover)
     if broadcast_cands:
-        cand_lists = F.broadcast(cand_lists)
-    work = tiles.join(cand_lists, "image_id")
+        fc = F.broadcast(fc)
+    # Only the columns the UDF needs cross the Arrow boundary: caption and
+    # phash stay JVM-side (columnar pruning keeps them out of the scan too).
+    # The candidate attach is a broadcast equi-join on the (gx, gy)
+    # footprint parsed JVM-side from image_id — no shuffle of tile bytes.
+    work = (tiles.select("image_id", "bytes", "w", "h", "fmt")
+            .withColumn("gx", F.regexp_extract(
+                "image_id", r"_x(\d+)_", 1).cast("int"))
+            .withColumn("gy", F.regexp_extract(
+                "image_id", r"_y(\d+)$", 1).cast("int"))
+            .join(fc, ["gx", "gy"]))
 
     polys_b = sc.broadcast(_prepared_polys(polygons))
     grid_b = sc.broadcast(grid)
@@ -137,12 +177,11 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                     view[sub] = ordinal
                 bands = plugin.transform(raw)
                 ts = epoch + pd.Timedelta(days=ts_idx)
-                for ordinal, pid in cands:
-                    mask = owner == ordinal
-                    if not mask.any():
-                        continue
-                    vals = plugin.partials(bands, mask)
-                    out["poly_id"].append(pid)
+                ord2pid = dict(cands)
+                grouped = plugin.partials_grouped(
+                    bands, owner, [o for o, _ in cands])
+                for ordinal, vals in grouped.items():
+                    out["poly_id"].append(ord2pid[ordinal])
                     out["image_id"].append(row.image_id)
                     out["ts"].append(ts)
                     for (name, _), v in zip(plugin.partial_fields, vals):
@@ -155,18 +194,24 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
 def drill(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
           grid: GridSpec, *, partial: bool = True,
           base_res: int = BASE_RES, broadcast_cover: bool = True,
-          broadcast_cands: bool = True) -> DataFrame:
+          broadcast_cands: bool = True,
+          meta: DataFrame | None = None) -> DataFrame:
     """Run one drill over every tile; returns
-    ``(poly_id, ts, <plugin metrics>[, conflux_n/s/e/w])``."""
+    ``(poly_id, ts, <plugin metrics>[, conflux_n/s/e/w])``.
+
+    ``meta`` optionally supplies the placement table (tile_meta shape) from
+    a lightweight catalog source so the metadata passes (footprints,
+    extents) never scan the heavy bytes column."""
     partials = drill_partials(tiles, polygons, plugin, grid,
                               base_res=base_res,
                               broadcast_cover=broadcast_cover,
-                              broadcast_cands=broadcast_cands)
+                              broadcast_cands=broadcast_cands,
+                              meta=meta)
     result = partials.groupBy("poly_id", "ts").agg(*plugin.final_aggs())
 
     if partial:
-        meta = tile_meta(tiles, grid)
-        flags = edge_flags_df(polygons, extents_by_ts(meta))
+        meta_src = meta if meta is not None else tile_meta(tiles, grid)
+        flags = edge_flags_df(polygons, extents_by_ts(meta_src))
         result = result.join(F.broadcast(flags), ["poly_id", "ts"], "left")
         result = result.fillna(False, subset=FLAG_COLS)
     return result
@@ -174,20 +219,32 @@ def drill(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
 
 def edge_flags_df(polygons: DataFrame, extents: DataFrame) -> DataFrame:
     """Per (poly_id, ts): in which compass directions the polygon overflows
-    the observed extent (reference drill.py:104-220 rule, numpy port)."""
-    j = polygons.select("poly_id", "rings").crossJoin(extents)
-    schema = ("poly_id string, ts timestamp, conflux_n boolean, "
-              "conflux_s boolean, conflux_e boolean, conflux_w boolean")
+    the observed extent (reference drill.py:104-220 rule, numpy port).
+
+    Computed per DISTINCT extent (usually one — the grid bbox is
+    time-invariant) and joined back to the timesteps, so cost is
+    O(polygons x distinct extents), not O(polygons x timesteps); the
+    polygon pass is repartitioned so the geometry work parallelises
+    instead of riding a single-partition crossJoin."""
+    spark = polygons.sparkSession
+    ext_d = extents.select("ex0", "ey0", "ex1", "ey1").distinct()
+    j = (polygons.select("poly_id", "rings").crossJoin(F.broadcast(ext_d))
+         .repartition(spark.sparkContext.defaultParallelism))
+    schema = ("poly_id string, ex0 double, ey0 double, ex1 double, "
+              "ey1 double, conflux_n boolean, conflux_s boolean, "
+              "conflux_e boolean, conflux_w boolean")
 
     def run(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
                 d = geom.edge_directions(r.rings, r.ex0, r.ey0, r.ex1, r.ey1)
-                rows.append((r.poly_id, r.ts, d["North"], d["South"],
-                             d["East"], d["West"]))
+                rows.append((r.poly_id, r.ex0, r.ey0, r.ex1, r.ey1,
+                             d["North"], d["South"], d["East"], d["West"]))
             yield pd.DataFrame(rows, columns=[
-                "poly_id", "ts", "conflux_n", "conflux_s", "conflux_e",
-                "conflux_w"])
+                "poly_id", "ex0", "ey0", "ex1", "ey1", "conflux_n",
+                "conflux_s", "conflux_e", "conflux_w"])
 
-    return j.mapInPandas(run, schema=schema)
+    per_extent = j.mapInPandas(run, schema=schema)
+    return (extents.join(per_extent, ["ex0", "ey0", "ex1", "ey1"])
+            .select("poly_id", "ts", *FLAG_COLS))

@@ -41,6 +41,22 @@ class DrillSpec:
     def partials(self, bands: dict, mask: np.ndarray) -> tuple:
         raise NotImplementedError
 
+    def partials_grouped(self, bands: dict, owner: np.ndarray,
+                         ordinals: list) -> dict:
+        """Partials for EVERY polygon of one tile in one pass.
+
+        ``owner`` is the (h, w) int32 pixel->ordinal assignment (-1 =
+        unassigned); returns {ordinal: partial tuple} for ordinals with at
+        least one pixel.  Default implementation loops with boolean masks
+        (O(cands x pixels)); count-style plugins override with a single
+        bincount pass (O(pixels)) — the per-tile hot path at scale."""
+        out = {}
+        for o in ordinals:
+            mask = owner == o
+            if mask.any():
+                out[o] = self.partials(bands, mask)
+        return out
+
     def final_aggs(self):
         raise NotImplementedError
 

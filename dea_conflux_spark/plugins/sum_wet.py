@@ -19,10 +19,25 @@ class SumWet(DrillSpec):
     output_fields = [("water", "double")]
 
     def transform(self, raw: np.ndarray) -> dict:
-        return {"water": (raw == 128).astype(np.float64)}
+        return {"water": (raw == 128).astype(np.float32)}
 
     def partials(self, bands: dict, mask: np.ndarray) -> tuple:
         return (int(bands["water"][mask].sum()),)
+
+    def partials_grouped(self, bands: dict, owner: np.ndarray,
+                         ordinals: list) -> dict:
+        flat = owner.ravel()
+        sel = flat >= 0
+        if not sel.any():
+            return {}
+        idx = flat[sel]
+        lo = int(idx.min())
+        idx = idx - lo
+        nb = int(idx.max()) + 1
+        wet = bands["water"].ravel()[sel] == 1.0
+        n_px = np.bincount(idx, minlength=nb)
+        n_wet = np.bincount(idx[wet], minlength=nb)
+        return {o + lo: (int(n_wet[o]),) for o in np.nonzero(n_px)[0]}
 
     def final_aggs(self):
         from pyspark.sql import functions as F

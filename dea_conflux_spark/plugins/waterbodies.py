@@ -28,7 +28,9 @@ class WaterbodiesC3(DrillSpec):
         wofl = raw & 0b11110011
         is_wet = wofl == 128
         is_ok = is_wet | (wofl == 0)
-        water = np.where(is_ok, is_wet.astype(np.float64), np.nan)
+        # float32 halves memory traffic; the summary values are integer
+        # counts so precision is unaffected
+        water = np.where(is_ok, is_wet.astype(np.float32), np.float32(np.nan))
         return {"water": water}
 
     def partials(self, bands: dict, mask: np.ndarray) -> tuple:
@@ -37,6 +39,25 @@ class WaterbodiesC3(DrillSpec):
         n_missing = int(np.isnan(v).sum())
         n_wet = int(np.nansum(v))
         return (n_px, n_missing, n_wet)
+
+    def partials_grouped(self, bands: dict, owner: np.ndarray,
+                         ordinals: list) -> dict:
+        # single gather + three bincounts over the assigned pixels —
+        # O(pixels), independent of candidate count
+        flat = owner.ravel()
+        sel = flat >= 0
+        if not sel.any():
+            return {}
+        idx = flat[sel]
+        lo = int(idx.min())
+        idx = idx - lo
+        nb = int(idx.max()) + 1
+        v = bands["water"].ravel()[sel]
+        n_px = np.bincount(idx, minlength=nb)
+        n_missing = np.bincount(idx[np.isnan(v)], minlength=nb)
+        n_wet = np.bincount(idx[v == 1.0], minlength=nb)
+        return {o + lo: (int(n_px[o]), int(n_missing[o]), int(n_wet[o]))
+                for o in np.nonzero(n_px)[0]}
 
     def final_aggs(self):
         from pyspark.sql import functions as F
