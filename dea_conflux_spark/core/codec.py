@@ -74,6 +74,32 @@ def decode(data: bytes, h: int, w: int, fmt: str = "raw") -> np.ndarray:
     raise ValueError(f"unknown fmt: {fmt}")
 
 
+def encode_bands(bands: dict, spec: list) -> bytes:
+    """Multiband tile encoding (fmt='multiraw'): concatenated row-major
+    planes per the band spec ``[(name, dtype_str), ...]`` — e.g. a WIT
+    stack of one uint8 bitfield + six int16 reflectance + three uint8
+    fractional-cover planes."""
+    out = []
+    for name, dt in spec:
+        out.append(np.ascontiguousarray(bands[name], dtype=np.dtype(dt))
+                   .tobytes())
+    return b"".join(out)
+
+
+def decode_bands(data: bytes, h: int, w: int, spec: list) -> dict:
+    """Inverse of :func:`encode_bands`."""
+    out = {}
+    off = 0
+    for name, dt in spec:
+        dtype = np.dtype(dt)
+        n = h * w * dtype.itemsize
+        out[name] = np.frombuffer(data[off:off + n], dtype=dtype).reshape(h, w)
+        off += n
+    if off != len(data):
+        raise ValueError(f"band spec mismatch: consumed {off} of {len(data)}")
+    return out
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)

@@ -247,6 +247,62 @@ def make_tiles_pdf(grid: GridSpec, polys: list) -> pd.DataFrame:
     return pdf
 
 
+def wit_tile_bands(grid: GridSpec, ts_idx: int, gx: int, gy: int,
+                   preps: list) -> dict:
+    """Deterministic multiband WIT tile: WOfS-style water bitfield +
+    six int16 reflectance planes (tuned so Tasseled Cap Wetness straddles
+    the -350 threshold, wetter inside lakes) + three uint8 fractional-cover
+    planes (0..120 to exercise the >100 normalisation case)."""
+    rng = np.random.default_rng([grid.seed, 91, ts_idx, gx, gy])
+    w, h = grid.w, grid.h
+    x0, y0 = grid.tile_origin(gx, gy)
+    xs = x0 + (np.arange(w) + 0.5) * grid.px_res
+    ys = y0 + (np.arange(h) + 0.5) * grid.px_res
+    water = tile_pixels(grid, ts_idx, gx, gy, preps)
+
+    inside_any = np.zeros((h, w), dtype=bool)
+    tx1, ty1 = x0 + grid.tile_span_x, y0 + grid.tile_span_y
+    for ordinal, prep, phase in preps:
+        bx0, by0, bx1, by1 = prep.bbox
+        if bx1 <= x0 or bx0 >= tx1 or by1 <= y0 or by0 >= ty1:
+            continue
+        inside_any |= geom.contains_grid(prep, xs, ys)
+
+    bands = {"water": water}
+    for name in ("nbart_blue", "nbart_green", "nbart_red", "nbart_nir",
+                 "nbart_swir_1", "nbart_swir_2"):
+        v = rng.normal(600.0, 350.0, size=(h, w))
+        if name.startswith("nbart_swir") :
+            v = v - 400.0 * inside_any  # lakes: lower SWIR -> higher TCW
+        bands[name] = np.clip(v, -999, 10000).astype(np.int16)
+    for name in ("bs", "pv", "npv"):
+        bands[name] = rng.integers(0, 121, size=(h, w), dtype=np.uint8)
+    return bands
+
+
+def make_wit_tiles_pdf(grid: GridSpec, polys: list) -> pd.DataFrame:
+    """WIT multiband tile table (fmt='multiraw', same input_hint schema)."""
+    from .plugins.wit import WIT_BANDS
+
+    preps = prepare_polys(polys)
+    rows = []
+    for t in range(grid.T):
+        for gx in range(grid.G):
+            for gy in range(grid.G):
+                bands = wit_tile_bands(grid, t, gx, gy, preps)
+                data = codec.encode_bands(bands, WIT_BANDS)
+                iid = image_id(t, gx, gy)
+                frac = float((bands["water"] & 128 > 0).mean())
+                rows.append({
+                    "image_id": iid, "bytes": data,
+                    "w": np.int32(grid.w), "h": np.int32(grid.h),
+                    "fmt": "multiraw",
+                    "caption": f"scene {iid} wet_frac={frac:.3f}",
+                    "phash": np.int64(codec.phash64(bands["water"])),
+                })
+    return pd.DataFrame(rows)
+
+
 TILE_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                "caption string, phash long")
 

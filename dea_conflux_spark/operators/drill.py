@@ -81,6 +81,38 @@ def footprint_candidates(meta: DataFrame, poly_cells: DataFrame,
             .agg(F.collect_set("poly_id").alias("cand_polys")))
 
 
+def footprint_candidates_salted(meta: DataFrame, poly_cells: DataFrame,
+                                grid: GridSpec, base_res: int = BASE_RES,
+                                n_salt: int = 8) -> DataFrame:
+    """Shuffle-hash variant of :func:`footprint_candidates` with hot-cell
+    salting — the scale path when the polygon cover table outgrows the
+    broadcast threshold (SURVEY.md §4 O5/O6).
+
+    Hot cells (coarse interior cells of huge polygons, or dense urban
+    lake fields) would funnel every matching tile-cell row into one
+    reducer; salting splits each cell's tile stream across ``n_salt``
+    reducers and replicates the (small per-cell) cover rows to every
+    salt, so the join key becomes (cell, salt).  AQE skew-join splitting
+    stays on as the second line of defence.
+    """
+    spark = meta.sparkSession
+    fps = meta.select("gx", "gy", "x0", "y0", "x1", "y1").distinct()
+    fps = fps.withColumn(
+        "image_id", F.format_string("t0000_x%03d_y%03d", "gx", "gy"))
+    fcells = tile_cells(fps, base_res=base_res).select(
+        F.regexp_extract("image_id", r"_x(\d+)_", 1).cast("int").alias("gx"),
+        F.regexp_extract("image_id", r"_y(\d+)$", 1).cast("int").alias("gy"),
+        "cell")
+    fcells = fcells.withColumn(
+        "salt", F.pmod(F.xxhash64("gx", "gy", "cell"), F.lit(n_salt)))
+    salts = spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    cover = (poly_cells.select("cell", "poly_id")
+             .crossJoin(F.broadcast(salts)))
+    joined = fcells.hint("shuffle_hash").join(cover, ["cell", "salt"])
+    return (joined.groupBy("gx", "gy")
+            .agg(F.collect_set("poly_id").alias("cand_polys")))
+
+
 def candidate_pairs(tiles: DataFrame, poly_cells: DataFrame, grid: GridSpec,
                     base_res: int = BASE_RES,
                     broadcast_cover: bool = True) -> DataFrame:
@@ -112,8 +144,12 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
     # recompute the quadtree covers.
     poly_cells = polygon_cover_df(polygons, base_res=base_res)
     meta_src = meta if meta is not None else tile_meta(tiles, grid)
-    fc = footprint_candidates(meta_src, poly_cells, grid, base_res,
-                              broadcast_cover)
+    if broadcast_cover:
+        fc = footprint_candidates(meta_src, poly_cells, grid, base_res,
+                                  broadcast_cover=True)
+    else:
+        fc = footprint_candidates_salted(meta_src, poly_cells, grid,
+                                         base_res)
     if broadcast_cands:
         fc = F.broadcast(fc)
     # Only the columns the UDF needs cross the Arrow boundary: caption and
@@ -146,7 +182,7 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                 ts_idx, gx, gy = (int(m.group(1)), int(m.group(2)),
                                   int(m.group(3)))
                 h, w = int(row.h), int(row.w)
-                raw = codec.decode(row.bytes, h, w, row.fmt)
+                raw = plugin.decode(row.bytes, h, w, row.fmt)
                 x0, y0 = g.tile_origin(gx, gy)
                 tx1 = x0 + w * g.px_res
                 ty1 = y0 + h * g.px_res

@@ -58,13 +58,23 @@ def oracle_drill(grid: GridSpec, polys: list, tiles_pdf: pd.DataFrame,
 
     rows = []
     for t in range(grid.T):
-        raw = np.zeros((H, W), dtype=np.uint8)
+        raw = None
         for gx in range(grid.G):
             for gy in range(grid.G):
                 r = byid[image_id(t, gx, gy)]
-                arr = codec.decode(r.bytes, int(r.h), int(r.w), r.fmt)
-                raw[gy * grid.h:(gy + 1) * grid.h,
-                    gx * grid.w:(gx + 1) * grid.w] = arr
+                arr = plugin.decode(r.bytes, int(r.h), int(r.w), r.fmt)
+                sl = (slice(gy * grid.h, (gy + 1) * grid.h),
+                      slice(gx * grid.w, (gx + 1) * grid.w))
+                if isinstance(arr, dict):
+                    if raw is None:
+                        raw = {k: np.zeros((H, W), dtype=v.dtype)
+                               for k, v in arr.items()}
+                    for k, v in arr.items():
+                        raw[k][sl] = v
+                else:
+                    if raw is None:
+                        raw = np.zeros((H, W), dtype=arr.dtype)
+                    raw[sl] = arr
         bands = plugin.transform(raw)
         ts = pd.Timestamp(EPOCH) + pd.Timedelta(days=t)
         for p in polys:

@@ -20,12 +20,14 @@ from __future__ import annotations
 
 from .waterbodies import WaterbodiesC3
 from .sum_wet import SumWet
+from .wit import WitLs9
 from .wo_flags import WoFlags
 
 REGISTRY = {
     "waterbodies_c3": WaterbodiesC3(),
     "sum_wet": SumWet(),
     "ga_ls_wo_3_flags": WoFlags(),
+    "wit_ls9": WitLs9(),
 }
 
 

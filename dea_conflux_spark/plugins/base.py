@@ -27,7 +27,14 @@ class DrillSpec:
     name = "base"
     version = "0.0.1"
 
-    def transform(self, raw: np.ndarray) -> dict:
+    def decode(self, data: bytes, h: int, w: int, fmt: str):
+        """bytes -> band payload (single array, or dict of planes for
+        multiband plugins).  Default: the engine codec's single band."""
+        from ..core import codec
+
+        return codec.decode(data, h, w, fmt)
+
+    def transform(self, raw) -> dict:
         raise NotImplementedError
 
     partial_fields: list = []
