@@ -58,6 +58,18 @@ def _sum_wet_drill(spark, sf_dir):
                           partial=False)
 
 
+def _wit_drill(spark, sf_dir):
+    from dea_conflux_spark.plugins import get_plugin as _gp
+
+    global _POLYS
+    _synthetic(spark)
+    wit_pdf = datagen.make_wit_tiles_pdf(_GRID, _POLYS)
+    tiles = spark.createDataFrame(wit_pdf, schema=datagen.TILE_SCHEMA)
+    polygons = datagen.polygons_df(spark, _POLYS)
+    return drill_op.drill(tiles, polygons, _gp("wit_ls9"), _GRID,
+                          partial=False)
+
+
 def _knn_points(spark, sf_dir):
     import pandas as pd
 
@@ -106,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": Q.docs_exact_dedup,
         "docs_ngram_jaccard_pairs": Q.docs_ngram_jaccard_pairs,
         "docs_minhash_rows": Q.docs_minhash_rows,
+        "docs_minhash_lsh_pairs": Q.docs_minhash_lsh_pairs,
         "docs_simhash": Q.docs_simhash,
         "docs_simhash_pairs": Q.docs_simhash_pairs,
         "embedding_neardup": Q.embedding_neardup,
@@ -113,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": Q.ann_brute_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
         # geospatial (rows-only: no relational analogue on these tables)
+        "wit_drill": _wit_drill,
         "flagship_drill": _flagship_drill,
         "sum_wet_drill": _sum_wet_drill,
         "knn_points": _knn_points,
@@ -420,6 +434,39 @@ def oracle_sql() -> dict[str, str]:
                MIN((hm * (2 * j + 1) + 7919 * j) % 1000000007) AS mh
         FROM h CROSS JOIN generate_series(0, 15) t2(j)
         GROUP BY doc_id, j
+    """
+
+
+    sql["docs_minhash_lsh_pairs"] = f"""
+        WITH {_SHINGLES},
+        h AS (SELECT doc_id, {h_sh} % 1000000007 AS hm FROM s),
+        m AS (SELECT doc_id, j,
+                     MIN((hm * (2 * j + 1) + 7919 * j) % 1000000007) AS mh
+              FROM h CROSS JOIN generate_series(0, 15) t2(j)
+              GROUP BY doc_id, j),
+        sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM m
+                GROUP BY doc_id),
+        bands AS (SELECT doc_id, b,
+                         md5(b::VARCHAR || '_' ||
+                             array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+                  FROM sig CROSS JOIN generate_series(0, 3) t3(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        sh2 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+                FROM s a JOIN s b ON a.shingle = b.shingle
+                     AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        ver AS (SELECT id1, id2,
+                       floor((shared / (n1.n_sh + n2.n_sh - shared)) * 10000
+                             + 0.5) / 10000.0 AS jaccard
+                FROM sh2
+                JOIN sz n1 ON n1.doc_id = id1
+                JOIN sz n2 ON n2.doc_id = id2)
+        SELECT c.id1, c.id2, v.jaccard
+        FROM cand c JOIN ver v ON c.id1 = v.id1 AND c.id2 = v.id2
+        WHERE v.jaccard >= 0.2
     """
 
     h_tok = _H60.format(x="tok")

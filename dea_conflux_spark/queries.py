@@ -271,6 +271,10 @@ def docs_minhash_rows(spark, sf):
         "doc_id", F.posexplode("sig").alias("j", "mh"))
 
 
+def docs_minhash_lsh_pairs(spark, sf):
+    return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), n=3, tau=0.2)
+
+
 def docs_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"))
 
