@@ -51,3 +51,22 @@ def test_cli_end_to_end(tmp_path):
               "--points", str(pts), "--k", "2"])
     lines = [ln for ln in o.splitlines() if ln.startswith("q")]
     assert len(lines) == 4
+
+
+def test_spark_submit_py_files(tmp_path):
+    """North-rule launch path: spark-submit --py-files <zip> runs the
+    drill with imports resolved from the packaged zip only."""
+    out = subprocess.run([sys.executable, "/root/repo/tools/package.py"],
+                         capture_output=True, text=True, timeout=60)
+    zip_path = out.stdout.strip().splitlines()[-1]
+    r = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, "/root/repo/tools/submit_drill.py",
+         "--g", "3", "--t", "2"],
+        capture_output=True, text=True, timeout=400, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("RESULT_JSON")][0]
+    res = json.loads(line.split(" ", 1)[1])
+    assert res["rows"] > 0
