@@ -35,14 +35,20 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct token n-grams."""
-    toks = tokens_col(F.col("text"))
+    """(doc_id, shingle) distinct token n-grams.
+
+    NB: tokens are materialised as a column FIRST — referencing the
+    split() expression inside the gram lambda would re-evaluate the regex
+    split once per element (no CSE inside nested higher-order functions),
+    an O(tokens x split) blowup measured at ~20x on real plans."""
+    tok_df = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)]))
-    return (docs.select("doc_id", F.explode(F.array_distinct(grams))
-                        .alias("shingle")))
+    return (tok_df.select("doc_id", F.explode(F.array_distinct(grams))
+                          .alias("shingle")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
@@ -77,17 +83,16 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     ``min((a_j * (md5i(shingle) % P) + b_j) % P)`` with a_j = 2j+1,
     b_j = 7919 * j — small literal constants shared with the SQL oracle."""
     sh = _shingles(docs, n).withColumn("h", md5i(F.col("shingle")) % MH_P)
-    js = F.explode(F.sequence(F.lit(0), F.lit(MH_NH - 1))).alias("j")
-    hj = ((F.col("h") * (2 * F.col("j") + 1) + F.lit(7919) * F.col("j"))
-          % MH_P)
-    per = (sh.select("doc_id", "h", js)
-           .select("doc_id", "j", hj.alias("hj"))
-           .groupBy("doc_id", "j").agg(F.min("hj").alias("mh")))
-    return (per.groupBy("doc_id")
-            .agg(F.array_sort(F.collect_list(F.struct("j", "mh")))
-                 .alias("s"))
-            .select("doc_id",
-                    F.transform("s", lambda x: x["mh"]).alias("sig")))
+    # One shuffle: gather each doc's shingle hashes, then compute all
+    # MH_NH minima with JVM array expressions — no NH-fold row explosion.
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(MH_NH - 1)),
+        lambda j: F.array_min(F.transform(
+            F.col("hs"),
+            lambda h: (h * (2 * j + 1) + F.lit(7919) * j) % MH_P)))
+    return (sh.groupBy("doc_id")
+            .agg(F.collect_list("h").alias("hs"))
+            .select("doc_id", sig.alias("sig")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
@@ -121,8 +126,8 @@ def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): 60-bit SimHash over tokens (term frequency
     weighted).  Bit j is set iff the signed count of tokens with hash bit j
     set is positive."""
-    toks = (docs.select("doc_id", F.explode(tokens_col(F.col("text")))
-                        .alias("tok"))
+    toks = (docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+            .select("doc_id", F.explode("toks").alias("tok"))
             .withColumn("h", md5i(F.col("tok"))))
     j = F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
     # NB: F.shiftleft/shiftright only take int literals for numBits — use

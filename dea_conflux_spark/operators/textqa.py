@@ -46,12 +46,13 @@ def tokens_col(col) -> Column:
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish subword piece count (every run of
     letters-or-digits of length <= 4, longer words counted ceil(len/4))."""
-    toks = tokens_col(F.col("text"))
+    d = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n_tok = F.size(toks)
     n_pieces = F.aggregate(
         toks, F.lit(0),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"))
-    return docs.select(
+    return d.select(
         "doc_id", n_tok.alias("n_tokens"),
         n_pieces.cast("long").alias("n_subword_pieces"))
 
@@ -59,7 +60,9 @@ def token_counts(docs: DataFrame) -> DataFrame:
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic document quality: length, punctuation density, stopword
     ratio, mean token length, and a blended 0-1 score."""
-    toks = tokens_col(F.col("text"))
+    docs = docs.select("doc_id", "text",
+                       tokens_col(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n_tok = F.size(toks)
     n_chars = F.length("text")
     n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[.,!?;:]"), 0))
@@ -83,7 +86,8 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word language id: count each language's marker tokens; predict
     the argmax (ties / zero evidence -> 'unk').  Deterministic tie-break by
     language code order."""
-    toks = tokens_col(F.col("text"))
+    docs = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    toks = F.col("toks")
 
     def marker_count(markers):
         # NB: F.filter treats a 2-arg lambda as (element, index) — a default
@@ -106,7 +110,9 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: whole-document md5 of normalised text plus a
     min-sampled 4-gram fingerprint (min over token 4-gram hashes — the
     hash-rolling analogue of winnowing with window = document)."""
-    toks = tokens_col(F.col("text"))
+    docs = docs.select("doc_id", norm_text(F.col("text")).alias("norm"),
+                       tokens_col(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
         lambda i: F.concat_ws(
@@ -114,5 +120,5 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             F.element_at(toks, i + 2), F.element_at(toks, i + 3)))
     min_gram = F.array_min(F.transform(grams, md5i))
     return docs.select(
-        "doc_id", F.md5(norm_text(F.col("text"))).alias("doc_md5"),
+        "doc_id", F.md5(F.col("norm")).alias("doc_md5"),
         min_gram.alias("min_gram_hash"))
