@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_nation_keys": Q.intersect_nation_keys,
         "orderkey_chunk_slice": Q.orderkey_chunk_slice,
         "events_json_extract": Q.events_json_extract,
+        "wit_normalise_demo": Q.wit_normalise_demo,
         # documents / text analysis
         "doc_token_counts": Q.doc_token_counts,
         "doc_quality_scores": Q.doc_quality_scores,
@@ -334,6 +335,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         FROM events
         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """
+
+
+    sql["wit_normalise_demo"] = """
+        WITH f AS (
+          SELECT l_orderkey, l_linenumber,
+                 l_discount AS water, l_tax AS wet,
+                 l_quantity % 7 AS pv,
+                 CAST(l_linenumber % 5 AS DOUBLE) AS npv,
+                 CAST(l_partkey % 3 AS DOUBLE) AS bs
+          FROM lineitem WHERE l_orderkey % 50 = 0)
+        SELECT l_orderkey, l_linenumber,
+               floor((CASE WHEN pv + npv + bs != 0
+                      THEN pv / (pv + npv + bs) * (1 - water - wet)
+                      ELSE pv END) * 10000 + 0.5) / 10000.0 AS norm_pv,
+               floor((CASE WHEN pv + npv + bs != 0
+                      THEN npv / (pv + npv + bs) * (1 - water - wet)
+                      ELSE npv END) * 10000 + 0.5) / 10000.0 AS norm_npv,
+               floor((CASE WHEN pv + npv + bs != 0
+                      THEN bs / (pv + npv + bs) * (1 - water - wet)
+                      ELSE bs END) * 10000 + 0.5) / 10000.0 AS norm_bs
+        FROM f
     """
 
     sql["doc_token_counts"] = f"""

@@ -127,6 +127,11 @@ def run_drill_resumable(tiles: DataFrame, polygons: DataFrame, plugin, grid,
     parts = drill_partials(todo, polygons, plugin, grid)
     parts = parts.withColumn("day", F.date_format("ts", "yyyyMMdd"))
     parts.write.mode("append").partitionBy("day").parquet(out_dir)
+    # per-partition lineage/metrics rows (north rule: lineage + metrics
+    # tables) — appended after the output commit, like the ledger
+    lineage_metrics(spark.read.parquet(out_dir)).withColumn(
+        "run_plugin", F.lit(plugin.name)).write.mode("overwrite").parquet(
+        out_dir + "_lineage")
     led.mark_done(todo.select("image_id"))
     return n
 

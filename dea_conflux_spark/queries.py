@@ -241,6 +241,28 @@ def events_json_extract(spark, sf):
 
 # ----------------------------------------------------- documents / text
 
+def wit_normalise_demo(spark, sf):
+    """D4 WIT normalisation semantics demonstrated on relational data
+    (water/wet/pv/npv/bs mapped from lineitem columns, guarded zero
+    denominator included)."""
+    from .operators.stacking import wit_normalise
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    frame = li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_discount")).alias("water"),
+        (F.col("l_tax")).alias("wet"),
+        (F.col("l_quantity") % 7).alias("pv"),
+        (F.col("l_linenumber") % 5).cast("double").alias("npv"),
+        (F.col("l_partkey") % 3).cast("double").alias("bs"))
+    out = wit_normalise(frame)
+    cols = ["l_orderkey", "l_linenumber"]
+    for b in ("pv", "npv", "bs"):
+        out = out.withColumn(f"norm_{b}", round4(F.col(f"norm_{b}")))
+        cols.append(f"norm_{b}")
+    return out.select(*cols)
+
+
 def doc_token_counts(spark, sf):
     return textqa.token_counts(_t(spark, sf, "documents"))
 

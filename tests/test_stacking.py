@@ -79,3 +79,15 @@ def test_stack_waterbodies_partitioned_csv(dup_scenario, tmp_path):
     assert parts, "expected hive-partitioned per-polygon csv output"
     df = pd.concat([pd.read_csv(p) for p in parts])
     assert len(df) == 4
+
+
+def test_single_file_delivery(dup_scenario, tmp_path):
+    out = str(tmp_path / "delivery")
+    stacking.single_file_delivery(dup_scenario, out,
+                                  ["px_wet", "pc_wet", "pc_missing"],
+                                  precision=2)
+    import glob
+    csvs = glob.glob(f"{out}/csv/*.csv")
+    assert len(csvs) == 1  # coalesced single file
+    df = pd.read_csv(csvs[0])
+    assert len(df) == 8 and round(df["pc_wet"].iloc[0], 2) == df["pc_wet"].iloc[0]
