@@ -361,7 +361,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_token_counts"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
-        SELECT doc_id, len(toks) AS n_tokens,
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
                CAST(list_sum(list_transform(toks,
                     x -> CAST(ceil(length(x) / 4.0) AS INT))) AS BIGINT)
                  AS n_subword_pieces
@@ -373,8 +373,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, text, {_TOKS} AS toks FROM documents),
         m AS (
           SELECT doc_id,
-                 length(text) AS n_chars_m,
-                 len(toks) AS n_tokens,
+                 CAST(length(text) AS INT) AS n_chars_m,
+                 CAST(len(toks) AS INT) AS n_tokens,
                  floor((len(regexp_extract_all(text, '[.,!?;:]')) / length(text)) * 10000 + 0.5) / 10000.0 AS punct_ratio,
                  floor((len(list_filter(toks, x -> x IN {_STOP})) / len(toks)) * 10000 + 0.5) / 10000.0 AS stop_ratio,
                  floor((list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) / len(toks)) * 10000 + 0.5) / 10000.0 AS mean_token_len
@@ -394,8 +394,10 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_lang_id"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         c AS (SELECT doc_id,
-                     {cnt['de']} AS n_de, {cnt['en']} AS n_en,
-                     {cnt['es']} AS n_es, {cnt['fr']} AS n_fr
+                     CAST({cnt['de']} AS INT) AS n_de,
+                     CAST({cnt['en']} AS INT) AS n_en,
+                     CAST({cnt['es']} AS INT) AS n_es,
+                     CAST({cnt['fr']} AS INT) AS n_fr
               FROM t)
         SELECT doc_id, n_de, n_en, n_es, n_fr,
                CASE WHEN greatest(n_de, n_en, n_es, n_fr) <= 0 THEN 'unk'

@@ -81,25 +81,29 @@ def contains(prep: Prepared, px, py) -> np.ndarray:
 
 def contains_grid(prep: Prepared, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """PIP over a raster grid given pixel-center coordinate axes ``xs`` (W,)
-    and ``ys`` (H,).  Scanline formulation: per grid row, collect x-intercepts
-    of edges straddling the row's y, then parity-count via searchsorted —
-    O(H*E log E + H*W), far cheaper than the (H*W) x E broadcast for tiles.
-    Returns (H, W) bool."""
+    and ``ys`` (H,).  Vectorised scanline: x-intercepts of all edges against
+    all rows in one (E, H) pass, then a parity count over the (E, H, W)
+    comparison — no per-row Python.  Row-chunked when the broadcast would
+    exceed ~32M cells.  Returns (H, W) bool."""
     H, W = len(ys), len(xs)
-    out = np.zeros((H, W), dtype=bool)
-    x1, y1, x2, y2 = prep.x1, prep.y1, prep.x2, prep.y2
+    x1 = prep.x1[:, None]
+    y1 = prep.y1[:, None]
+    x2 = prep.x2[:, None]
+    y2 = prep.y2[:, None]
+    E = len(prep.x1)
     with np.errstate(divide="ignore", invalid="ignore"):
         slope = (x2 - x1) / (y2 - y1)
-    for i, y in enumerate(ys):
-        m = (y1 > y) != (y2 > y)
-        if not m.any():
-            continue
-        xint = x1[m] + (y - y1[m]) * slope[m]
-        xint.sort()
-        # A point is inside iff an odd number of intercepts lie strictly
-        # right of it == (#intercepts - #intercepts <= x) odd.
-        cnt_right = len(xint) - np.searchsorted(xint, xs, side="right")
-        out[i] = (cnt_right % 2) == 1
+    out = np.empty((H, W), dtype=bool)
+    chunk = max(1, int(32_000_000 / max(1, E * W)))
+    for i0 in range(0, H, chunk):
+        yrow = ys[None, i0:i0 + chunk]
+        cond = (y1 > yrow) != (y2 > yrow)  # (E, h)
+        with np.errstate(invalid="ignore"):
+            xint = x1 + (yrow - y1) * slope  # (E, h)
+        # non-crossing edges can never lie right of a pixel
+        xint = np.where(cond, xint, -np.inf)
+        cross = xint[:, :, None] > xs[None, None, :]  # (E, h, W)
+        out[i0:i0 + chunk] = (cross.sum(axis=0) & 1).astype(bool)
     return out
 
 
