@@ -39,7 +39,7 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 G = int(os.environ.get("SPARK_GRAFT_BENCH_G", "32"))
 T = int(os.environ.get("SPARK_GRAFT_BENCH_T", "8"))
 W = int(os.environ.get("SPARK_GRAFT_BENCH_W", "128"))
-REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "4"))
+REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "8"))
 
 
 def _grid_and_polys():

@@ -5,13 +5,15 @@ Spark-first re-expression of the reference's scene drill
 
 1. ``tile_meta`` / ``tile_cells`` — placement + covering cells derived from
    ``image_id`` JVM-side (bytes column pruned out of the scan).
-2. candidate pairs — equi-join ``tile_cells ⋈ polygon_cover`` on ``cell``
-   (broadcast when the cover table is small, shuffle-hash otherwise), then
-   ``distinct`` to (image_id, poly_id).  This subsumes the reference's
-   quick-bbox + exact-intersects filter cascade (drill.py:302-340,282-299):
-   the cell join IS the cheap prefilter.
-3. candidate lists — group candidates per tile so each tile's ``bytes`` is
-   shuffled (or broadcast-joined) exactly once, never once per polygon.
+2. footprint candidates — equi-join ``tile_cells ⋈ polygon_cover`` on
+   ``cell`` per DISTINCT tile footprint (broadcast cover when small,
+   salted shuffle-hash otherwise), grouped to one candidate list per
+   footprint.  This subsumes the reference's quick-bbox +
+   exact-intersects filter cascade (drill.py:302-340,282-299): the cell
+   join IS the cheap prefilter.
+3. candidate attach — broadcast join of the tiny footprint-candidate
+   table onto tiles by (gx, gy): tile ``bytes`` are never shuffled and
+   reach the UDF exactly once, never once per polygon.
 4. drill UDF (``mapInPandas``, Arrow batches) — decode tile, run the
    plugin's vectorized ``transform``, assign pixels to polygons by exact
    ray-cast PIP on pixel centres with ascending-ordinal overwrite (matching
@@ -32,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import BASE_RES, EPOCH
-from ..core import codec, geom
+from ..core import geom
 from ..datagen import GridSpec
 from ..plugins.base import DrillSpec
 from .cover import polygon_cover_df

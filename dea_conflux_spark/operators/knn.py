@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from ..config import RES_BITS, WORLD
+from ..config import WORLD
 
 
 def _cell_expr(res: int, x, y):

@@ -18,9 +18,7 @@ __main__.py:922-1019, io.py:103-143) — collapses into three small tables:
 from __future__ import annotations
 
 import os
-import re
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 

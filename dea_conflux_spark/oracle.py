@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 
 from .config import EPOCH
-from .core import codec, geom
+from .core import geom
 from .datagen import GridSpec, image_id
 from .plugins.base import DrillSpec
 
