@@ -126,6 +126,16 @@ def make_polygons(grid: GridSpec, n_small: int = 40, n_medium: int = 5,
         bx = x0 + ((i % grid.G) or 1) * grid.tile_span_x
         by = rng.uniform(y0 + 500, y1 - 500)
         add([_blob(rng, bx, by, rng.uniform(200, 500))], "straddle")
+    # extent-overflow polygons centred on the outer boundary — these must
+    # yield TRUE conflux_n/s/e/w flags (reference drill.py:104-220)
+    for dx, dy, kind in ((0, 1, "overflow_n"), (0, -1, "overflow_s"),
+                         (1, 0, "overflow_e"), (-1, 0, "overflow_w")):
+        r = rng.uniform(300, 600)
+        cx = (x1 if dx > 0 else x0) if dx != 0 else rng.uniform(
+            x0 + 0.3 * (x1 - x0), x0 + 0.7 * (x1 - x0))
+        cy = (y1 if dy > 0 else y0) if dy != 0 else rng.uniform(
+            y0 + 0.3 * (y1 - y0), y0 + 0.7 * (y1 - y0))
+        add([_blob(rng, cx, cy, r)], kind)
     # overlapping pair (tests rasterise last-wins tie-break)
     cx = rng.uniform(x0 + 1000, x1 - 1000)
     cy = rng.uniform(y0 + 1000, y1 - 1000)

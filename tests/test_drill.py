@@ -44,9 +44,10 @@ def test_waterbodies_c3_edge_flags(c3_result, grid, polys, tiles_pdf):
     exp = exp.sort_values(["poly_id", "ts"]).reset_index(drop=True)
     for c in drill_op.FLAG_COLS:
         assert list(got[c].astype(bool)) == list(exp[c].astype(bool)), c
-    # at least one polygon must actually overflow (huge polygon typically
-    # crosses the observed extent or a straddler touches it)
-    # (informative only if none do, the fixture is too tame)
+    # the fixture plants boundary-overflow polygons: the parity check must
+    # not be vacuous — at least one flag is TRUE in each direction set
+    assert got[drill_op.FLAG_COLS].to_numpy().any(), \
+        "edge-flag fixture is vacuous (no polygon overflows the extent)"
 
 
 def test_sum_wet_matches_oracle(tiles, polygons, grid, polys, tiles_pdf):
