@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_order_stats": Q.monthly_order_stats,
         "pivot_orderstatus": Q.pivot_orderstatus,
         "bitwise_linenumber_flags": Q.bitwise_linenumber_flags,
+        "cube_order_counts": Q.cube_order_counts,
+        "revenue_percentiles": Q.revenue_percentiles,
         # windows
         "topk_orders_per_customer": Q.topk_orders_per_customer,
         "day_dedup_best_events": Q.day_dedup_best_events,
@@ -216,6 +218,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN (l_linenumber & 2) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bit1,
                CAST(SUM(CASE WHEN (l_linenumber & 4) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bit2
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
+    sql["cube_order_counts"] = f"""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM({_dec('o_totalprice')}) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """
+
+    sql["revenue_percentiles"] = """
+        SELECT o_orderpriority,
+               floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000.0 AS p50,
+               floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000.0 AS p90,
+               floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000.0 AS p99
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
 
     sql["topk_orders_per_customer"] = """

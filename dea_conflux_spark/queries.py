@@ -103,6 +103,32 @@ def bitwise_linenumber_flags(spark, sf):
     return li.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
 
 
+def cube_order_counts(spark, sf):
+    """CUBE grouping sets over (priority, status) with counts and decimal
+    totals; NULL grouping keys normalised to 'ALL' for stable comparison."""
+    o = _t(spark, sf, "orders")
+    return (o.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+            .select(
+                F.coalesce("o_orderpriority", F.lit("ALL"))
+                .alias("prio"),
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                "n", "total"))
+
+
+def revenue_percentiles(spark, sf):
+    """Exact interpolated percentiles of order totals per priority
+    (Spark percentile == DuckDB quantile_cont)."""
+    o = _t(spark, sf, "orders")
+    pct = lambda q: round4(F.expr(  # noqa: E731
+        f"percentile(o_totalprice, {q})"))
+    return (o.groupBy("o_orderpriority")
+            .agg(pct(0.5).alias("p50"), pct(0.9).alias("p90"),
+                 pct(0.99).alias("p99"))
+            .orderBy("o_orderpriority"))
+
+
 # ---------------------------------------------------------------- windows
 
 def topk_orders_per_customer(spark, sf):

@@ -1,0 +1,46 @@
+"""Partition-overwrite idempotence and bucketed no-shuffle joins."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dea_conflux_spark.operators import tables
+
+
+def test_overwrite_partitions_idempotent(spark, tmp_path):
+    path = str(tmp_path / "obs")
+    df1 = spark.createDataFrame(
+        [("a", "d1", 1.0), ("b", "d1", 2.0), ("c", "d2", 3.0)],
+        "poly_id string, day string, v double")
+    tables.overwrite_partitions(df1, path, ["day"])
+    # rewrite d1 only, with different values; d2 must survive untouched
+    df2 = spark.createDataFrame(
+        [("a", "d1", 10.0)], "poly_id string, day string, v double")
+    tables.overwrite_partitions(df2, path, ["day"])
+    out = spark.read.parquet(path).toPandas()
+    assert sorted(out[out.day == "d1"]["v"]) == [10.0]
+    assert sorted(out[out.day == "d2"]["v"]) == [3.0]
+    # re-running the same write converges (idempotence)
+    tables.overwrite_partitions(df2, path, ["day"])
+    out2 = spark.read.parquet(path)
+    assert out2.count() == 2
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS obs_bucketed")
+    spark.sql("DROP TABLE IF EXISTS dim_bucketed")
+    obs = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), F.rand(1).alias("v"))
+    dim = spark.range(50).select(F.col("id").alias("k"),
+                                 F.lit("x").alias("name"))
+    tables.write_bucketed(obs, "obs_bucketed", "k", 8)
+    tables.write_bucketed(dim, "dim_bucketed", "k", 8)
+    a = spark.table("obs_bucketed")
+    b = spark.table("dim_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert j.count() == 1000
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
