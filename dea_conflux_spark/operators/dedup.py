@@ -192,6 +192,42 @@ def embedding_neardup_pairs(embeddings: DataFrame,
             .filter(F.col("cosine") >= tau))
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(node, component) — connected components of the near-dup pair graph
+    by iterative min-label propagation (a small-diameter iterative
+    algorithm: duplicate clusters are shallow, so a handful of join+min
+    rounds converge; each round is one shuffle).
+
+    Used to resolve transitive duplicate groups exactly where
+    ``dedup_keep_canonical``'s clique assumption would over/under-drop.
+    """
+    edges = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+             .union(pairs.select(F.col("id2").alias("a"),
+                                 F.col("id1").alias("b"))))
+    labels = (edges.select(F.col("a").alias("node"))
+              .union(edges.select(F.col("b").alias("node")))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        # candidate labels: own label plus the minimum neighbour label
+        neigh = (edges.join(labels, edges.b == labels.node)
+                 .groupBy(F.col("a").alias("node"))
+                 .agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(neigh, "node", "left")
+                      .select("node",
+                              F.least("component",
+                                      F.coalesce("nbr_min", "component"))
+                              .alias("component")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Resolve near-dup pairs into a keep-set: drop every doc that appears
     as the larger id in a pair (union-find-free approximation that is exact

@@ -146,6 +146,13 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
     # recompute the quadtree covers.
     poly_cells = polygon_cover_df(polygons, base_res=base_res)
     meta_src = meta if meta is not None else tile_meta(tiles, grid)
+    if broadcast_cover == "auto":
+        # size-based strategy switch (SURVEY.md §4 O5): broadcast while the
+        # cover table is comfortably under the broadcast budget, salted
+        # shuffle-hash beyond it.  The count is a narrow job over the small
+        # polygon table, amortised by the cover cache.
+        poly_cells = poly_cells.cache()
+        broadcast_cover = poly_cells.count() <= 2_000_000
     if broadcast_cover:
         fc = footprint_candidates(meta_src, poly_cells, grid, base_res,
                                   broadcast_cover=True)

@@ -67,6 +67,42 @@ def build_ivf(embeddings: DataFrame, n_centroids: int = 16):
     return assign, cents
 
 
+def rp_lsh_neardup(embeddings: DataFrame, n_bits: int = 16,
+                   tau: float = 0.9, seed: int = 42) -> DataFrame:
+    """Embedding near-dup via sign-random-projection LSH (the scale path
+    when no blocking key exists): each vector hashes to an ``n_bits``
+    signature (sign of dot products with seeded Gaussian hyperplanes,
+    computed as one JVM array expression over a broadcast literal matrix);
+    candidates collide on the full signature bucket, then verify exact
+    cosine >= tau.  Recall rises with more hash tables; one table here —
+    measured against the exact pairs in tests."""
+    import numpy as np
+
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_bits, dim))
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    bit_cols = []
+    for b in range(n_bits):
+        lits = F.array(*[F.lit(float(x)) for x in planes[b]])
+        dot = F.aggregate(F.zip_with(F.col("v"), lits, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bit_cols.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = sum(bit_cols[1:], bit_cols[0])
+    sigs = e.select("vec_id", "v", sig.alias("sig"))
+    a, b2 = sigs.alias("a"), sigs.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v")))
+    from .textqa import round4
+    return (a.join(b2, (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id1"),
+                    F.col("b.vec_id").alias("id2"),
+                    round4(cos).alias("cosine"))
+            .filter(F.col("cosine") >= tau))
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` closest centroid buckets

@@ -210,3 +210,55 @@ def test_external_codec_stubbed(spark):
     df = spark.createDataFrame(pdf, datagen.TILE_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|external codec"):
         multimodal.image_stats(df).collect()
+
+
+def test_connected_components_vs_union_find(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "id1 long, id2 long")
+    out = dedup.connected_components(pairs).toPandas()
+    comp = dict(zip(out["node"], out["component"]))
+    # python union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for n in list(parent):
+        groups.setdefault(find(n), set()).add(n)
+    got_groups = {}
+    for n, c in comp.items():
+        got_groups.setdefault(c, set()).add(n)
+    assert sorted(map(sorted, got_groups.values())) == \
+        sorted(map(sorted, groups.values()))
+
+
+def test_rp_lsh_neardup_recall(spark, embeddings):
+    exact = dedup.embedding_neardup_pairs(
+        embeddings.withColumn("label", F.lit(0)), tau=0.9).toPandas()
+    approx = similarity.rp_lsh_neardup(embeddings, n_bits=8,
+                                       tau=0.9).toPandas()
+    exact_set = set(zip(exact.id1, exact.id2))
+    approx_set = set(zip(approx.id1, approx.id2))
+    assert approx_set <= exact_set or len(exact_set) == 0
+    if exact_set:
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.3  # single table, 8 bits: modest but nonzero
+
+
+def test_drill_auto_strategy(spark, tiles, polygons, grid, polys, tiles_pdf):
+    from dea_conflux_spark import oracle as _oracle
+    from dea_conflux_spark.operators import drill as _drill
+    from dea_conflux_spark.plugins import get_plugin as _gp
+    got = _drill.drill(tiles, polygons, _gp("sum_wet"), grid,
+                       partial=False, broadcast_cover="auto").toPandas()
+    exp = _oracle.oracle_drill(grid, polys, tiles_pdf, _gp("sum_wet"),
+                               partial=False)
+    assert len(got) == len(exp)
