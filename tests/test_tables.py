@@ -26,8 +26,12 @@ def test_overwrite_partitions_idempotent(spark, tmp_path):
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import shutil
     spark.sql("DROP TABLE IF EXISTS obs_bucketed")
     spark.sql("DROP TABLE IF EXISTS dim_bucketed")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("obs_bucketed", "dim_bucketed"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     obs = spark.range(1000).select(
         (F.col("id") % 50).alias("k"), F.rand(1).alias("v"))
     dim = spark.range(50).select(F.col("id").alias("k"),
