@@ -313,6 +313,41 @@ def make_wit_tiles_pdf(grid: GridSpec, polys: list) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def photo_pixels(grid: GridSpec, ts_idx: int, gx: int, gy: int) -> np.ndarray:
+    """Deterministic smooth 'photographic' tile (sinusoid field + mild
+    noise) — the lossy-codec test payload (bitfields are not meaningfully
+    DCT-compressible; real imagery is)."""
+    rng = np.random.default_rng([grid.seed, 55, ts_idx, gx, gy])
+    y, x = np.mgrid[0:grid.h, 0:grid.w]
+    fx, fy = rng.uniform(5, 20, 2)
+    phase = rng.uniform(0, 6.28, 2)
+    img = (128 + 60 * np.sin(x / fx + phase[0]) * np.cos(y / fy + phase[1])
+           + 20 * np.sin((x + y) / 31.0) + rng.normal(0, 3, (grid.h, grid.w)))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def make_photo_tiles_pdf(grid: GridSpec, fmt: str = "dct") -> pd.DataFrame:
+    """Lossy-path tile table (input_hint per-row invariant: decoded pixels
+    PSNR >= 40 dB vs the pre-encode image + caption equality; the caption
+    embeds the ORIGINAL image's mean brightness)."""
+    rows = []
+    for t in range(grid.T):
+        for gx in range(grid.G):
+            for gy in range(grid.G):
+                arr = photo_pixels(grid, t, gx, gy)
+                iid = image_id(t, gx, gy)
+                data = codec.encode(arr, fmt)
+                dec = codec.decode(data, grid.h, grid.w, fmt)
+                rows.append({
+                    "image_id": iid, "bytes": data,
+                    "w": np.int32(grid.w), "h": np.int32(grid.h),
+                    "fmt": fmt,
+                    "caption": f"photo {iid} mean={arr.mean():.2f}",
+                    "phash": np.int64(codec.phash64(dec)),
+                })
+    return pd.DataFrame(rows)
+
+
 TILE_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                "caption string, phash long")
 
