@@ -46,9 +46,9 @@ def _grid_and_polys():
     from dea_conflux_spark import datagen
 
     grid = datagen.GridSpec(G=G, T=T * REP, w=W, h=W)
-    # Dense waterbody landscape: ~3 candidate polygons per tile, matching
-    # the reference's Canberra test density (86 polygons per ~25-tile
-    # scene, reference tests/test_drill.py:71).
+    # Dense waterbody landscape (~12 candidate polygons per tile; the
+    # reference's Canberra test has 86 polygons per ~25-tile scene,
+    # reference tests/test_drill.py:71 — dense lake districts run higher).
     polys = datagen.make_polygons(grid, n_small=12000, n_medium=120, n_huge=5)
     return grid, polys
 

@@ -18,3 +18,13 @@ idiomatic Spark DataFrame pipeline:
 """
 
 __version__ = "0.1.0"
+
+from .config import get_spark  # noqa: E402,F401
+from .datagen import GridSpec  # noqa: E402,F401
+
+
+def drill(*args, **kwargs):
+    """Convenience re-export of :func:`operators.drill.drill`."""
+    from .operators.drill import drill as _drill
+
+    return _drill(*args, **kwargs)
