@@ -39,7 +39,7 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 G = int(os.environ.get("SPARK_GRAFT_BENCH_G", "32"))
 T = int(os.environ.get("SPARK_GRAFT_BENCH_T", "8"))
 W = int(os.environ.get("SPARK_GRAFT_BENCH_W", "128"))
-REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "8"))
+REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "16"))
 
 
 def _grid_and_polys():
@@ -54,24 +54,24 @@ def _grid_and_polys():
 
 
 def _replicate(tiles, rep: int):
-    """Union ``rep`` shifted copies: copy k rewrites image_id's timestep to
-    ts + k*T (pure JVM expressions; bytes column untouched)."""
+    """Emit ``rep`` shifted copies of every tile from ONE scan: copy k
+    rewrites image_id's timestep to ts + k*T (pure JVM expressions; bytes
+    untouched).  explode-based so the input splits / scheduler load stay
+    those of a single scan — a 16-way union multiplies driver scheduling
+    and parquet decode by 16, which becomes the non-scaling floor."""
     from pyspark.sql import functions as F
 
     if rep <= 1:
         return tiles
-    parts = []
-    for k in range(rep):
-        ts = (F.regexp_extract("image_id", r"^t(\d+)_", 1).cast("int")
-              + F.lit(k * T))
-        gx = F.regexp_extract("image_id", r"_x(\d+)_", 1).cast("int")
-        gy = F.regexp_extract("image_id", r"_y(\d+)$", 1).cast("int")
-        parts.append(tiles.withColumn(
-            "image_id", F.format_string("t%04d_x%03d_y%03d", ts, gx, gy)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ts = (F.regexp_extract("image_id", r"^t(\d+)_", 1).cast("int")
+          + F.col("rep_k") * T)
+    gx = F.regexp_extract("image_id", r"_x(\d+)_", 1).cast("int")
+    gy = F.regexp_extract("image_id", r"_y(\d+)$", 1).cast("int")
+    return (tiles.withColumn(
+        "rep_k", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .withColumn("image_id",
+                    F.format_string("t%04d_x%03d_y%03d", ts, gx, gy))
+        .drop("rep_k"))
 
 
 def tiles_path() -> str:
@@ -256,7 +256,7 @@ def main():
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    drill = run_drill(spark, path)
+    drill = run_drill(spark, path, repeat=2)
     queries = run_queries(spark, sf_dir)
     spark.stop()
 
