@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_signup_before_purchase": Q.asof_signup_before_purchase,
         "range_join_error_context": Q.range_join_error_context,
         # joins / set ops / scalars
+        "knn_acctbal": Q.knn_acctbal,
         "customers_without_orders": Q.customers_without_orders,
         "customers_with_orders": Q.customers_with_orders,
         "union_distinct_keys": Q.union_distinct_keys,
@@ -316,6 +317,18 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= err.err_ts - INTERVAL 1 HOUR
              AND e.ts < err.err_ts
         GROUP BY err_id ORDER BY err_id
+    """
+
+
+    sql["knn_acctbal"] = """
+        SELECT c_custkey, s_suppkey, dist, CAST(rnk AS INT) AS rnk FROM (
+          SELECT c_custkey, s_suppkey,
+                 floor(ABS(c_acctbal - s_acctbal) * 10000 + 0.5) / 10000.0 AS dist,
+                 ROW_NUMBER() OVER (PARTITION BY c_custkey
+                     ORDER BY floor(ABS(c_acctbal - s_acctbal) * 10000 + 0.5) / 10000.0 ASC,
+                              s_suppkey) AS rnk
+          FROM customer CROSS JOIN supplier)
+        WHERE rnk <= 3
     """
 
     sql["customers_without_orders"] = """

@@ -219,6 +219,22 @@ def range_join_error_context(spark, sf):
             .orderBy("err_id"))
 
 
+def knn_acctbal(spark, sf):
+    """Relational kNN (C7 analogue with an exact oracle): the 3 nearest
+    suppliers per customer by account-balance distance — cross join the
+    tiny dim side, rank with a window (the same candidate->rank shape the
+    spatial kNN uses with cell rings instead of a cross join)."""
+    c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    s_ = _t(spark, sf, "supplier").select("s_suppkey", "s_acctbal")
+    d = round4(F.abs(F.col("c_acctbal") - F.col("s_acctbal")))
+    w = W.partitionBy("c_custkey").orderBy(
+        F.col("dist").asc(), F.col("s_suppkey"))
+    return (c.crossJoin(F.broadcast(s_))
+            .select("c_custkey", "s_suppkey", d.alias("dist"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3))
+
+
 # ------------------------------------------------------- joins / set ops
 
 def customers_without_orders(spark, sf):
