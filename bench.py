@@ -99,7 +99,8 @@ def run_drill(spark, path: str, warmup: bool = True,
     from dea_conflux_spark.operators.tilecells import tile_meta
 
     grid, polys = _grid_and_polys()
-    tiles = _replicate(spark.read.parquet(path), REP).coalesce(128).cache()
+    n_parts = max(128, 16 * spark.sparkContext.defaultParallelism)
+    tiles = _replicate(spark.read.parquet(path), REP).coalesce(n_parts).cache()
     # metadata-only source: parquet column pruning reads just image_id, so
     # the footprint/extent passes never touch the bytes column
     meta = tile_meta(_replicate(spark.read.parquet(path).select("image_id"),
