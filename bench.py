@@ -189,7 +189,8 @@ def write_baseline_md(result: dict) -> None:
         "# BENCH/BASELINE.md — measured performance (north rule evidence)",
         "",
         f"Bench input: {result['n_tiles']} tiles ({G}x{G} grid x {T} "
-        f"timesteps, {W}x{W} px, WOfS bitfield) + "
+        f"stored timesteps x {REP} replication = {T * REP} timesteps, "
+        f"{W}x{W} px, WOfS bitfield) + "
         "~12k waterbody polygons incl. 5 huge skew polygons; "
         "flagship drill = cell-cover equi-join + exact PIP refine + "
         "zonal aggregation + edge flags.",
