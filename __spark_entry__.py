@@ -468,11 +468,15 @@ def oracle_sql() -> dict[str, str]:
         s AS (SELECT doc_id, unnest(grams) AS shingle FROM g)
     """
 
+    # max_df=64 hot-shingle cutoff mirrored from queries.py
     sql["docs_ngram_jaccard_pairs"] = f"""
         WITH {_SHINGLES},
-        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        sdf AS (SELECT s.doc_id, s.shingle FROM s
+                JOIN (SELECT shingle FROM s GROUP BY shingle
+                      HAVING COUNT(*) <= 64) ok USING (shingle)),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sdf GROUP BY doc_id),
         sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
-               FROM s a JOIN s b ON a.shingle = b.shingle
+               FROM sdf a JOIN sdf b ON a.shingle = b.shingle
                     AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
         SELECT id1, id2,
@@ -543,11 +547,19 @@ def oracle_sql() -> dict[str, str]:
 
     sql["docs_simhash"] = f"WITH {_SIMHASH} SELECT doc_id, simhash FROM sim"
 
+    # pigeonhole blocking mirrored from dedup.simhash_block_specs:
+    # max_hamming + 1 = 13 disjoint blocks guarantee complete recall <= 12
+    from dea_conflux_spark.operators.dedup import simhash_block_specs
+
+    _blk_vals = ", ".join(f"({q}, {start}, {width})"
+                          for q, start, width in simhash_block_specs(12))
     sql["docs_simhash_pairs"] = f"""
         WITH {_SIMHASH},
+        bs(q, start, width) AS (VALUES {_blk_vals}),
         blk AS (SELECT doc_id, simhash, q,
-                       (simhash >> (q * 15)) & 32767 AS block
-                FROM sim CROSS JOIN generate_series(0, 3) t3(q)),
+                       (simhash >> start) & ((CAST(1 AS BIGINT) << width) - 1)
+                         AS block
+                FROM sim CROSS JOIN bs),
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
                         a.simhash AS s1, b.simhash AS s2
                  FROM blk a JOIN blk b ON a.q = b.q AND a.block = b.block

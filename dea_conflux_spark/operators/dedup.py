@@ -51,14 +51,51 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
                           .alias("shingle")))
 
 
+def _drop_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    A shingle shared by thousands of documents (stop-phrases, boilerplate)
+    carries no dedup signal but funnels every sharing doc into one reducer
+    of the shingle self-join — a quadratic hot-key blowup at corpus scale.
+    The cutoff bounds per-shingle join fan-out at ``max_df`` docs, so the
+    candidate count is <= n_shingles * max_df^2 instead of O(n_docs^2).
+    """
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > max_df).select("shingle"))
+    return sh.join(hot, "shingle", "left_anti")
+
+
+def _jaccard_of_sizes(sizes: DataFrame, shared: DataFrame) -> DataFrame:
+    """(id1, id2, jaccard) from a shared-shingle count table and per-doc
+    shingle sizes."""
+    out = (shared
+           .join(sizes.withColumnRenamed("doc_id", "id1")
+                 .withColumnRenamed("n_sh", "n1"), "id1")
+           .join(sizes.withColumnRenamed("doc_id", "id2")
+                 .withColumnRenamed("n_sh", "n2"), "id2"))
+    jac = round4(F.col("shared") /
+                 (F.col("n1") + F.col("n2") - F.col("shared")))
+    return out.select("id1", "id2", jac.alias("jaccard"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        tau: float = 0.4) -> DataFrame:
+                        tau: float = 0.4,
+                        max_df: int | None = None) -> DataFrame:
     """Near-dup pairs by token n-gram Jaccard >= tau.
 
     Candidate generation = self-equi-join on shingle (only pairs sharing at
     least one shingle are scored); Jaccard from shared / (|A|+|B|-shared).
+
+    ``max_df`` (document-frequency cutoff) removes hot shingles from the
+    Jaccard universe before the self-join — the standard mitigation for the
+    quadratic hot-key blowup a corpus-wide stop-phrase would cause (a
+    shingle shared by 10^6 docs = a 10^12-row reducer).  Sizes are computed
+    over the same filtered universe so the score stays a true Jaccard of
+    the retained shingle sets; mirror the cutoff in any oracle.
     """
     sh = _shingles(docs, n)
+    if max_df is not None:
+        sh = _drop_hot_shingles(sh, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -67,14 +104,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
               .groupBy(F.col("a.doc_id").alias("id1"),
                        F.col("b.doc_id").alias("id2"))
               .agg(F.count("*").alias("shared")))
-    out = (shared
-           .join(sizes.withColumnRenamed("doc_id", "id1")
-                 .withColumnRenamed("n_sh", "n1"), "id1")
-           .join(sizes.withColumnRenamed("doc_id", "id2")
-                 .withColumnRenamed("n_sh", "n2"), "id2"))
-    jac = round4(F.col("shared") /
-                 (F.col("n1") + F.col("n2") - F.col("shared")))
-    return (out.select("id1", "id2", jac.alias("jaccard"))
+    return (_jaccard_of_sizes(sizes, shared)
             .filter(F.col("jaccard") >= tau))
 
 
@@ -96,10 +126,18 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
-                      tau: float = 0.4) -> DataFrame:
+                      tau: float = 0.4,
+                      max_df: int | None = None) -> DataFrame:
     """MinHash+LSH near-dup: band the signature (MH_BAND rows/band), join on
-    (band, band-hash) buckets, then verify candidates with true n-gram
-    Jaccard >= tau.  Only bucket-colliding pairs are ever verified."""
+    (band, band-hash) buckets, then verify with true n-gram Jaccard >= tau
+    computed for the CANDIDATE PAIRS ONLY.
+
+    Verification cost is O(candidate_pairs x shingles_per_doc): the pair
+    list is joined to each side's shingle rows (equi-joins keyed on the
+    candidate doc ids), never self-joining the shingle table on the shingle
+    value — the all-pairs join LSH exists to avoid never runs.  ``max_df``
+    optionally drops hot shingles from the verification universe (see
+    :func:`ngram_jaccard_pairs`)."""
     sigs = minhash_signatures(docs, n)
     band_vals = F.transform(
         F.slice(F.col("sig"), F.col("band") * MH_BAND + 1, MH_BAND),
@@ -118,8 +156,22 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("id1"),
                     F.col("b.doc_id").alias("id2")).distinct())
-    verified = ngram_jaccard_pairs(docs, n, tau)
-    return cand.join(verified, ["id1", "id2"], "inner")
+    sh = _shingles(docs, n)
+    if max_df is not None:
+        sh = _drop_hot_shingles(sh, max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # shared-shingle counts for candidate pairs only: expand each pair by
+    # id1's shingles (join on id1), keep rows where id2 holds the same
+    # shingle (join on (id2, shingle)) — both joins are keyed on candidate
+    # ids, so cost tracks the candidate set, not the corpus pair space.
+    shared = (cand
+              .join(sh.select(F.col("doc_id").alias("id1"), "shingle"),
+                    "id1")
+              .join(sh.select(F.col("doc_id").alias("id2"), "shingle"),
+                    ["id2", "shingle"])
+              .groupBy("id1", "id2").agg(F.count("*").alias("shared")))
+    return (_jaccard_of_sizes(sizes, shared)
+            .filter(F.col("jaccard") >= tau))
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -145,17 +197,38 @@ def simhash(docs: DataFrame) -> DataFrame:
             .groupBy("doc_id").agg(F.sum("b").alias("simhash")))
 
 
+def simhash_block_specs(max_hamming: int, n_bits: int = 60) -> list:
+    """(q, start, width) block layout for complete recall at
+    ``max_hamming``: pigeonhole needs ``max_hamming + 1`` disjoint blocks —
+    a pair differing in <= h bits leaves at least one of h+1 blocks
+    untouched.  Widths are the balanced integer split of ``n_bits``."""
+    nb = max_hamming + 1
+    edges = [q * n_bits // nb for q in range(nb + 1)]
+    return [(q, edges[q], edges[q + 1] - edges[q]) for q in range(nb)]
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 15-bit quarters of the 60-bit
-    hash (any pair within hamming distance <= 3 of a quarter collides on at
-    least one), verify with exact popcount of the XOR."""
+    """Near-dup pairs by SimHash: block on ``max_hamming + 1`` disjoint bit
+    ranges of the 60-bit hash (pigeonhole — any pair within hamming
+    distance <= max_hamming collides on at least one block, so recall is
+    complete at the threshold), verify with exact popcount of the XOR.
+
+    Scale note: smaller blocks collide more often on unrelated hashes, so
+    the candidate rate grows with ``max_hamming`` (width 60/(h+1) bits →
+    ~2^-(60/(h+1)) collision probability per block per random pair).  At
+    corpus scale keep the threshold tight (h <= 6 for 60-bit hashes) or
+    pre-partition by a coarse key; the blocking stays recall-complete
+    either way."""
     sh = simhash(docs)
-    q = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q")
-    blocks = sh.select(
-        "doc_id", "simhash", q).select(
-        "doc_id", "simhash", "q",
-        F.expr("shiftrightunsigned(simhash, q * 15)")
-        .bitwiseAND((1 << 15) - 1).alias("block"))
+    blk = F.explode(F.array(*[
+        F.struct(
+            F.lit(q).alias("q"),
+            F.expr(f"shiftrightunsigned(simhash, {start})")
+            .bitwiseAND((1 << width) - 1).alias("block"))
+        for q, start, width in simhash_block_specs(max_hamming)]))
+    blocks = sh.select("doc_id", "simhash", blk.alias("b")).select(
+        "doc_id", "simhash",
+        F.col("b.q").alias("q"), F.col("b.block").alias("block"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (a.join(b, (F.col("a.q") == F.col("b.q"))
                    & (F.col("a.block") == F.col("b.block"))
@@ -192,11 +265,18 @@ def embedding_neardup_pairs(embeddings: DataFrame,
             .filter(F.col("cosine") >= tau))
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 10,
+                         strict: bool = True) -> DataFrame:
     """(node, component) — connected components of the near-dup pair graph
     by iterative min-label propagation (a small-diameter iterative
     algorithm: duplicate clusters are shallow, so a handful of join+min
     rounds converge; each round is one shuffle).
+
+    Converges in O(diameter) rounds; if the loop exhausts ``max_iter``
+    while labels are still changing (a duplicate chain longer than
+    ``max_iter``), the labels are NOT a fixed point — with ``strict``
+    (default) that raises instead of silently returning split components;
+    pass ``strict=False`` to accept the partial labelling.
 
     Used to resolve transitive duplicate groups exactly where
     ``dedup_keep_canonical``'s clique assumption would over/under-drop.
@@ -208,6 +288,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
               .union(edges.select(F.col("b").alias("node")))
               .distinct()
               .withColumn("component", F.col("node")))
+    changed = 0
     for _ in range(max_iter):
         # candidate labels: own label plus the minimum neighbour label
         neigh = (edges.join(labels, edges.b == labels.node)
@@ -225,6 +306,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
+    if changed != 0:
+        msg = (f"connected_components did not converge in {max_iter} "
+               "min-propagation rounds (component diameter exceeds "
+               "max_iter); labels are not a fixed point")
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels
 
 

@@ -326,7 +326,10 @@ def docs_exact_dedup(spark, sf):
 
 
 def docs_ngram_jaccard_pairs(spark, sf):
-    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, tau=0.2)
+    # max_df=64: hot-shingle document-frequency cutoff (mirrored in the
+    # DuckDB oracle) — bounds the shingle self-join fan-out at scale.
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3,
+                                     tau=0.2, max_df=64)
 
 
 def docs_minhash_rows(spark, sf):

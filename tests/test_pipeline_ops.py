@@ -262,3 +262,88 @@ def test_drill_auto_strategy(spark, tiles, polygons, grid, polys, tiles_pdf):
     exp = _oracle.oracle_drill(grid, polys, tiles_pdf, _gp("sum_wet"),
                                partial=False)
     assert len(got) == len(exp)
+
+
+# ----------------------------------------------- round-2 scale/recall fixes
+
+def test_simhash_pairs_complete_recall_brute_force(spark, docs):
+    """Pigeonhole blocking must find EVERY pair within max_hamming — checked
+    against a brute-force XOR-popcount over all pairs."""
+    d = docs.limit(40)
+    sh = dedup.simhash(d).toPandas()
+    ids = sh["doc_id"].to_numpy()
+    hs = sh["simhash"].to_numpy().astype(np.int64)
+    for h in (3, 12):
+        exp = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                if ham <= h:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    exp.add((a, b))
+        got = dedup.simhash_pairs(d, max_hamming=h).toPandas()
+        got_set = set(zip(got.id1.astype(int), got.id2.astype(int)))
+        assert got_set == exp, f"recall gap at max_hamming={h}"
+
+
+def test_simhash_block_specs_pigeonhole():
+    for h in (0, 3, 8, 12):
+        specs = dedup.simhash_block_specs(h)
+        assert len(specs) == h + 1
+        assert sum(w for _, _, w in specs) == 60
+        # blocks are disjoint and contiguous
+        pos = 0
+        for q, start, width in specs:
+            assert start == pos and width >= 1
+            pos += width
+
+
+def test_hot_shingle_cutoff_bounds_candidates(spark):
+    """A planted common-boilerplate corpus must not explode quadratically:
+    with the DF cutoff, boilerplate-only overlap produces ZERO candidate
+    pairs; only the planted true near-dups surface."""
+    n = 300
+    boiler = "terms of service apply to all users of this website always"
+    rows = [{"doc_id": i,
+             "text": f"{boiler} unique{i} tail{i} content{i} word{i}"}
+            for i in range(n)]
+    # two planted real near-dups sharing their tails too
+    rows.append({"doc_id": n, "text": f"{boiler} unique0 tail0 content0 word0 extra"})
+    pdf = pd.DataFrame(rows)
+    d = spark.createDataFrame(pdf, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(d, n=3, tau=0.2, max_df=50).toPandas()
+    # without the cutoff every boilerplate 3-gram links all 301 docs
+    # (~45k pairs); with it only the planted pair survives
+    assert len(out) <= 5
+    assert ((out.id1 == 0) & (out.id2 == n)).any()
+
+
+def test_minhash_lsh_verifies_candidates_only(spark, docs):
+    """The LSH verification must not contain a full shingle self-join:
+    no join in the physical plan may be keyed on the shingle value alone
+    (the candidate-bounded joins are keyed on doc ids / (id, shingle))."""
+    import re
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, tau=0.2)
+    plan = pairs._jdf.queryExecution().toString()
+    single_key = re.findall(r"keys \[1\]: \[shingle", plan)
+    assert not single_key, "full shingle self-join found in LSH plan"
+    # and the result still matches the independent full-verify path
+    full = dedup.ngram_jaccard_pairs(docs, n=3, tau=0.2).toPandas()
+    got = pairs.toPandas()
+    got_set = set(zip(got.id1, got.id2))
+    full_set = set(zip(full.id1, full.id2))
+    assert got_set <= full_set  # LSH output is a subset of true pairs
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id1 long, id2 long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+    # non-strict mode returns the partial labelling with a warning
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup.connected_components(chain, max_iter=2,
+                                         strict=False).toPandas()
+    assert len(out) == 10 and any("converge" in str(x.message) for x in w)
