@@ -90,6 +90,7 @@ def make_polygons(grid: GridSpec, n_small: int = 40, n_medium: int = 5,
     x0, y0, x1, y1 = grid.extent
     span = min(x1 - x0, y1 - y0)
     polys = []
+    seen_ids = set()
 
     def add(rings, kind):
         cx, cy = geom.centroid(rings)
@@ -97,8 +98,9 @@ def make_polygons(grid: GridSpec, n_small: int = 40, n_medium: int = 5,
         la = (cy / 4_194_304.0) * 160.0 - 80.0
         lo = (cx / 4_194_304.0) * 320.0 - 160.0
         pid = geom.geohash_encode(la, lo, 9)
-        while any(p["poly_id"] == pid for p in polys):
+        while pid in seen_ids:
             pid = pid + "x"
+        seen_ids.add(pid)
         bx = geom.bbox(rings)
         polys.append({
             "poly_id": pid, "kind": kind,

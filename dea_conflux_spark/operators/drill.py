@@ -11,9 +11,11 @@ Spark-first re-expression of the reference's scene drill
    footprint.  This subsumes the reference's quick-bbox +
    exact-intersects filter cascade (drill.py:302-340,282-299): the cell
    join IS the cheap prefilter.
-3. candidate attach — broadcast join of the tiny footprint-candidate
-   table onto tiles by (gx, gy): tile ``bytes`` are never shuffled and
-   reach the UDF exactly once, never once per polygon.
+3. candidate attach — rings join onto the footprint-candidate table
+   (``attach_rings``: geometry travels only to footprints that need it;
+   no driver collect, no whole-layer broadcast), then a broadcast join
+   onto tiles by (gx, gy): tile ``bytes`` are never shuffled and reach
+   the UDF exactly once, never once per polygon.
 4. drill UDF (``mapInPandas``, Arrow batches) — decode tile, run the
    plugin's vectorized ``transform``, assign pixels to polygons by exact
    ray-cast PIP on pixel centres with ascending-ordinal overwrite (matching
@@ -45,14 +47,26 @@ _ID_RE = re.compile(r"^t(\d+)_x(\d+)_y(\d+)$")
 FLAG_COLS = ["conflux_n", "conflux_s", "conflux_e", "conflux_w"]
 
 
-def _prepared_polys(polygons: DataFrame) -> dict:
-    """Collect + prepare the polygon dim table for broadcast: poly_id ->
-    (ordinal, Prepared).  The polygon layer is the small dimension side —
-    the same assumption the reference makes when it ships the whole
-    shapefile to every worker (reference __main__.py:902-906)."""
-    rows = polygons.select("poly_id", "ordinal", "rings").collect()
-    return {r["poly_id"]: (int(r["ordinal"]), geom.prepare(r["rings"]))
-            for r in rows}
+def attach_rings(fc: DataFrame, polygons: DataFrame) -> DataFrame:
+    """(gx, gy, cand_polys array<struct<ordinal, poly_id, rings>>) —
+    candidate lists with ring geometry attached through the candidate join.
+
+    Rings travel ONLY to the footprints whose cell cover they intersect
+    (an equi-join on poly_id + re-group), replacing the reference's
+    ship-the-whole-shapefile-to-every-worker pattern
+    (reference __main__.py:902-906) and the round-1 driver-side
+    ``collect()`` + ``sc.broadcast`` of every polygon: driver memory and
+    broadcast size now scale with candidate geometry actually needed per
+    footprint, not with the total polygon count.  ``sort_array`` over the
+    (ordinal-first) structs yields ascending drill order for the
+    rasterize-last-wins overwrite."""
+    pairs = fc.select("gx", "gy", F.explode("cand_polys").alias("poly_id"))
+    dim = polygons.select("poly_id", "ordinal", "rings")
+    return (pairs.join(dim, "poly_id")
+            .groupBy("gx", "gy")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("ordinal", "poly_id", "rings")))
+                .alias("cand_polys")))
 
 
 def footprint_candidates(meta: DataFrame, poly_cells: DataFrame,
@@ -159,12 +173,15 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
     else:
         fc = footprint_candidates_salted(meta_src, poly_cells, grid,
                                          base_res)
+    fc = attach_rings(fc, polygons)
     if broadcast_cands:
         fc = F.broadcast(fc)
     # Only the columns the UDF needs cross the Arrow boundary: caption and
     # phash stay JVM-side (columnar pruning keeps them out of the scan too).
     # The candidate attach is a broadcast equi-join on the (gx, gy)
-    # footprint parsed JVM-side from image_id — no shuffle of tile bytes.
+    # footprint parsed JVM-side from image_id — no shuffle of tile bytes,
+    # and candidate RINGS arrive through the same join (no driver collect,
+    # no whole-layer broadcast — see attach_rings).
     work = (tiles.select("image_id", "bytes", "w", "h", "fmt")
             .withColumn("gx", F.regexp_extract(
                 "image_id", r"_x(\d+)_", 1).cast("int"))
@@ -172,14 +189,16 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                 "image_id", r"_y(\d+)$", 1).cast("int"))
             .join(fc, ["gx", "gy"]))
 
-    polys_b = sc.broadcast(_prepared_polys(polygons))
     grid_b = sc.broadcast(grid)
     schema = plugin.partial_schema
 
     def run(batches):
         g: GridSpec = grid_b.value
-        pmap = polys_b.value
         epoch = pd.Timestamp(EPOCH)
+        # prepared-geometry cache: tiles of the same footprint that land
+        # in this task reuse the Prepared edge arrays instead of
+        # rebuilding them per tile (bounded by the task's candidate set)
+        prep_cache: dict = {}
         for pdf in batches:
             out = {"poly_id": [], "image_id": [], "ts": []}
             for name, _ in plugin.partial_fields:
@@ -197,12 +216,15 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                 ty1 = y0 + h * g.px_res
                 xs = x0 + (np.arange(w) + 0.5) * g.px_res
                 ys = y0 + (np.arange(h) + 0.5) * g.px_res
-                cands = sorted(
-                    ((pmap[p][0], p) for p in row.cand_polys
-                     if p in pmap), key=lambda t: t[0])
+                cands = []
+                for c in row.cand_polys:
+                    ordinal, pid = int(c["ordinal"]), c["poly_id"]
+                    if pid not in prep_cache:
+                        prep_cache[pid] = geom.prepare(c["rings"])
+                    cands.append((ordinal, pid))
                 owner = np.full((h, w), -1, dtype=np.int32)
                 for ordinal, pid in cands:
-                    prep = pmap[pid][1]
+                    prep = prep_cache[pid]
                     bx0, by0, bx1, by1 = prep.bbox
                     if bx1 <= x0 or bx0 >= tx1 or by1 <= y0 or by0 >= ty1:
                         continue

@@ -97,3 +97,25 @@ def test_overlapping_polygons_last_wins(polys, grid):
 def test_outside_polygon_absent(c3_result, polys):
     out_pid = next(p for p in polys if p["kind"] == "outside")["poly_id"]
     assert out_pid not in set(c3_result["poly_id"])
+
+
+def test_drill_100k_polygons_no_driver_collect(spark):
+    """Round-2 scale fix: the drill must handle a 100k-polygon layer with
+    rings delivered through the candidate join — no driver-side collect()
+    or whole-layer broadcast exists any more (the round-1 scale ceiling).
+    Driver memory is bounded by the footprint-candidate table, not the
+    polygon count."""
+    from dea_conflux_spark import datagen as dg
+
+    assert not hasattr(drill_op, "_prepared_polys")  # the collect path is gone
+    big_grid = dg.GridSpec(G=8, T=1, w=32, h=32)
+    big_polys = dg.make_polygons(big_grid, n_small=100_000, n_medium=0,
+                                 n_huge=0)
+    tiles = dg.tiles_df(spark, big_grid, big_polys)
+    polygons = dg.polygons_df(spark, big_polys)
+    res = drill_op.drill(tiles, polygons, get_plugin("sum_wet"), big_grid,
+                         partial=False)
+    n = res.count()
+    # last-wins rasterisation over a dense overlapping layer: thousands of
+    # polygons own pixels, bounded by the total pixel budget
+    assert 0 < n <= big_grid.G ** 2 * 32 * 32
