@@ -202,6 +202,10 @@ def write_baseline_md(result: dict) -> None:
         f"| drill throughput @ local[{result['cpus']}] | "
         f"{result['tiles_per_sec']} tiles/sec |",
     ]
+    if s.get(f"local{result['cpus']}"):
+        lines.append(
+            "| headline source | same batch as the scaling rows below "
+            "(one coherent measurement session) |")
     if s:
         lines += [
             f"| drill throughput @ local[2] (N) | "
@@ -263,8 +267,10 @@ def main():
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    drill = run_drill(spark, path, repeat=2)
     queries = run_queries(spark, sf_dir)
+    drill_in_session = None
+    if args.no_scaling:
+        drill_in_session = run_drill(spark, path, repeat=2)
     spark.stop()
 
     # The three-level scaling study is long (~8 min); cache its result so
@@ -282,6 +288,18 @@ def main():
             os.makedirs("BENCH", exist_ok=True)
             with open(cache, "w") as f:
                 json.dump(scaling, f)
+
+    # Headline = the local[cpus] row of the SAME scaling batch, so every
+    # number in the report comes from one coherent measurement session
+    # (the host drifts ~2x between batches; mixing a fresh headline with
+    # cached scaling rows produced a same-job discrepancy in round 1).
+    drill = dict(scaling.get(f"local{args.cpus}") or {})
+    if not drill:
+        if drill_in_session is None:
+            spark2 = _session(args.cpus)
+            drill_in_session = run_drill(spark2, path, repeat=2)
+            spark2.stop()
+        drill = drill_in_session
 
     result = {
         "metric": "polygon-drill wall time (cell join + PIP refine + "

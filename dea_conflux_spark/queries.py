@@ -59,20 +59,28 @@ def q3_shipping_priority(spark, sf):
 
 
 def q5_nation_revenue(spark, sf):
+    """Pre-aggregate lineitem revenue per orderkey BEFORE the dimension
+    joins: the fact table collapses to one row per order in a single hash
+    aggregate, every subsequent join carries order-grain rows, and
+    n_orders becomes a plain count instead of a countDistinct over the
+    joined lineitem grain (decimal sums are exact, so sum-of-per-order-
+    sums equals the global sum)."""
     r = _t(spark, sf, "region")
     n = _t(spark, sf, "nation")
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf, "lineitem")
     rev = F.sum((_dec("l_extendedprice")
                  * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))))
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(c, o.o_custkey == c.c_custkey)
-            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    per_order = li.groupBy("l_orderkey").agg(rev.alias("o_rev"))
+    return (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                  o.o_custkey == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("n_name", "r_name")
-            .agg(F.round(rev, 4).cast("double").alias("revenue"),
-                 F.countDistinct("o_orderkey").alias("n_orders"))
+            .agg(F.round(F.sum("o_rev"), 4).cast("double").alias("revenue"),
+                 F.count("*").alias("n_orders"))
             .orderBy("n_name"))
 
 
