@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_brute_topk": Q.ann_brute_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
+        # rows-only: approximate configuration, recall floor in tests
+        "ann_ivf_partial_probe": Q.ann_ivf_partial_probe,
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
         "flagship_drill": _flagship_drill,

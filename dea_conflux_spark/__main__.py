@@ -8,6 +8,7 @@ filter-from-queue) with the Spark-native equivalents.
                                            [--resume-ledger PATH]
     python -m dea_conflux_spark get-ids    --tiles DIR [--screen]
     python -m dea_conflux_spark stack      --drill DIR --out DIR
+                                           [--mode waterbodies|wit]
     python -m dea_conflux_spark knn        --tiles DIR --points CSV --k 3
 
 The queue apparatus (SQS push / filter / dead-letter) collapses into the
@@ -58,6 +59,8 @@ def main(argv=None):
     s = sub.choices["stack"]
     s.add_argument("--drill", required=True)
     s.add_argument("--out", required=True)
+    s.add_argument("--mode", default="waterbodies",
+                   choices=["waterbodies", "wit"])
     k = sub.choices["knn"]
     k.add_argument("--tiles", required=True)
     k.add_argument("--points", required=True, help="csv with qid,qx,qy")
@@ -118,11 +121,15 @@ def main(argv=None):
         from .operators import stacking
 
         drill_df = spark.read.parquet(f"{args.drill}/drill")
-        stacking.stack_waterbodies(drill_df, f"{args.out}/timeseries")
-        obs = stacking.observations_fact(
-            stacking.dedup_timeseries(drill_df))
-        obs.write.mode("overwrite").parquet(f"{args.out}/observations")
-        print(json.dumps({"observations": obs.count()}))
+        if args.mode == "wit":
+            out = stacking.stack_wit(drill_df, f"{args.out}/timeseries")
+            print(json.dumps({"mode": "wit", "rows": out.count()}))
+        else:
+            stacking.stack_waterbodies(drill_df, f"{args.out}/timeseries")
+            obs = stacking.observations_fact(
+                stacking.dedup_timeseries(drill_df))
+            obs.write.mode("overwrite").parquet(f"{args.out}/observations")
+            print(json.dumps({"observations": obs.count()}))
 
     elif args.cmd == "knn":
         from .operators import knn as knn_op

@@ -247,6 +247,25 @@ def clip_rect(rings, rx0, ry0, rx1, ry1) -> list:
     return out_rings
 
 
+def _on_original_segment(xA, yA, xB, yB, segs, eps=1e-9) -> bool:
+    """Is segment (A, B) a sub-segment of any original polygon edge?
+    True iff both endpoints are collinear with and within the span of one
+    COMMON original edge.  ``segs`` is the (E, 4) array of original
+    edges."""
+    ox1, oy1, ox2, oy2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = ox2 - ox1, oy2 - oy1
+    ln2 = dx * dx + dy * dy
+    safe = np.where(ln2 == 0, 1, ln2)
+    tol = eps * np.maximum(1.0, np.sqrt(ln2))
+
+    def on_edge(px, py):
+        cross = np.abs((px - ox1) * dy - (py - oy1) * dx)
+        t = ((px - ox1) * dx + (py - oy1) * dy) / safe
+        return (cross <= tol) & (t >= -eps) & (t <= 1 + eps) & (ln2 > 0)
+
+    return bool((on_edge(xA, yA) & on_edge(xB, yB)).any())
+
+
 def edge_directions(rings, rx0, ry0, rx1, ry1) -> dict:
     """In which compass directions does the polygon overflow the extent rect?
 
@@ -257,11 +276,20 @@ def edge_directions(rings, rx0, ry0, rx1, ry1) -> dict:
     polygon's min-y ⇒ South (max-y ⇒ North); a vertical one at min-x ⇒ West
     (max-x ⇒ East).  Returns {"North": bool, ...}; all-False when the polygon
     is fully inside or fully outside the extent.
+
+    A clipped segment lying on the extent rect is only clip-INTRODUCED if
+    it is not part of the original boundary (the reference excludes such
+    edges via ``boundary.difference(og_geom.boundary)``, drill.py:140) —
+    an original edge that happens to coincide with the extent boundary
+    must not raise a spurious overflow flag.
     """
     dirs = {d: False for d in ("North", "South", "East", "West")}
     clipped = clip_rect(rings, rx0, ry0, rx1, ry1)
     if not clipped:
         return dirs
+    orig = _as_rings(rings)
+    orig_segs = np.concatenate([
+        np.concatenate([a, np.roll(a, -1, axis=0)], axis=1) for a in orig])
     a_clip = sum(
         0.5 * abs(np.sum(r[:, 0] * np.roll(r[:, 1], -1)
                          - np.roll(r[:, 0], -1) * r[:, 1]))
@@ -285,6 +313,10 @@ def edge_directions(rings, rx0, ry0, rx1, ry1) -> dict:
                 or (abs(yA - ry1) < eps and abs(yB - ry1) < eps)
             )
             if not on_rect:
+                continue
+            # original edges coinciding with the extent boundary are NOT
+            # clip-introduced (reference boundary.difference semantics)
+            if _on_original_segment(xA, yA, xB, yB, orig_segs):
                 continue
             ang = np.arctan2(yB - yA, xB - xA)
             horizontal = abs(ang) <= np.pi / 4 or abs(ang) >= 3 * np.pi / 4

@@ -71,23 +71,37 @@ def valid_tiles(tiles: DataFrame) -> DataFrame:
 
 class Ledger:
     """Parquet-backed completed-work ledger (reference io.py:103-143
-    existence probe, as an anti-join instead of per-file S3 HEADs)."""
+    existence probe, as an anti-join instead of per-file S3 HEADs).
+
+    Rows carry the ``batch`` that completed them; ``next_batch_id`` is
+    max(batch)+1, so a run that crashed AFTER writing output but BEFORE
+    ``mark_done`` reuses the same batch id on retry — output keyed by
+    batch id can dynamically overwrite itself instead of duplicating."""
 
     def __init__(self, spark, path: str):
         self.spark = spark
         self.path = path
 
-    def completed(self) -> DataFrame:
+    def _df(self) -> DataFrame:
         if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], "image_id string")
-        return self.spark.read.parquet(self.path).select("image_id").distinct()
+            return self.spark.createDataFrame(
+                [], "image_id string, batch int")
+        return self.spark.read.parquet(self.path)
+
+    def completed(self) -> DataFrame:
+        return self._df().select("image_id").distinct()
+
+    def next_batch_id(self) -> int:
+        row = self._df().agg(F.max("batch").alias("m")).first()
+        return 0 if row["m"] is None else int(row["m"]) + 1
 
     def remaining(self, tiles: DataFrame) -> DataFrame:
         """Work not yet done — left-anti against the ledger (SURVEY.md A10)."""
         return tiles.join(self.completed(), "image_id", "left_anti")
 
-    def mark_done(self, image_ids: DataFrame) -> None:
+    def mark_done(self, image_ids: DataFrame, batch: int = 0) -> None:
         (image_ids.select("image_id").distinct()
+         .withColumn("batch", F.lit(batch).cast("int"))
          .write.mode("append").parquet(self.path))
 
 
@@ -106,11 +120,21 @@ def run_drill_resumable(tiles: DataFrame, polygons: DataFrame, plugin, grid,
                         batch_partitions: int | None = None) -> int:
     """Checkpoint-resumable drill run (FIXTURES.md invariant 6).
 
-    Drills only tiles absent from the ledger, appends partial-aggregate
-    output partitioned by day, then appends the processed ids to the
-    ledger.  Because the final combine (groupBy poly_id, ts) is re-runnable
-    over the accumulated partials, a killed run restarts cleanly: rerun →
-    anti-join skips completed tiles → identical final output.
+    Drills only tiles absent from the ledger, writes partial-aggregate
+    output under a ``batch=<id>`` partition, then appends the processed
+    ids (with the batch id) to the ledger.  Kill-safety at every point:
+
+    * crash BEFORE the output commit — nothing written, rerun redoes the
+      batch under the same id;
+    * crash AFTER the output commit but BEFORE ``mark_done`` — the rerun
+      reuses the same batch id (``next_batch_id`` is derived from the
+      ledger, which did not advance) and DYNAMICALLY OVERWRITES that
+      batch's partitions, so retried partials replace rather than
+      duplicate (no double-counted pixels in the final SUM);
+    * crash after ``mark_done`` — the anti-join skips the batch entirely.
+
+    Lineage/metrics rows are computed from THIS batch's partials only and
+    appended — O(batch), not O(total history) per increment.
 
     Returns the number of tiles drilled this invocation.
     """
@@ -122,19 +146,37 @@ def run_drill_resumable(tiles: DataFrame, polygons: DataFrame, plugin, grid,
     n = todo.count()
     if n == 0:
         return 0
+    batch_id = led.next_batch_id()
     parts = drill_partials(todo, polygons, plugin, grid)
-    parts = parts.withColumn("day", F.date_format("ts", "yyyyMMdd"))
-    parts.write.mode("append").partitionBy("day").parquet(out_dir)
-    # per-partition lineage/metrics rows (north rule: lineage + metrics
-    # tables) — appended after the output commit, like the ledger
-    lineage_metrics(spark.read.parquet(out_dir)).withColumn(
-        "run_plugin", F.lit(plugin.name)).write.mode("overwrite").parquet(
-        out_dir + "_lineage")
-    led.mark_done(todo.select("image_id"))
+    parts = (parts.withColumn("day", F.date_format("ts", "yyyyMMdd"))
+             .withColumn("batch", F.lit(batch_id).cast("int")))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (parts.write.mode("overwrite").partitionBy("batch", "day")
+         .parquet(out_dir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-batch lineage/metrics rows (north rule: lineage + metrics
+    # tables) — computed from the just-committed batch partition only
+    # (partition-pruned read) and appended after the output commit
+    batch_parts = spark.read.parquet(out_dir).filter(
+        F.col("batch") == batch_id)
+    (lineage_metrics(batch_parts)
+     .withColumn("run_plugin", F.lit(plugin.name))
+     .withColumn("batch", F.lit(batch_id).cast("int"))
+     .write.mode("append").parquet(out_dir + "_lineage"))
+    led.mark_done(todo.select("image_id"), batch_id)
     return n
 
 
 def finalize_drill(spark, out_dir: str, plugin) -> DataFrame:
-    """Final combine over accumulated partials (safe to run any time)."""
+    """Final combine over accumulated partials (safe to run any time).
+
+    ``dropDuplicates`` on the (poly_id, image_id) grain makes the combine
+    idempotent even if an interrupted batch left duplicate partial rows
+    (partials are deterministic per tile, so duplicates are identical)."""
     parts = spark.read.parquet(out_dir)
-    return parts.groupBy("poly_id", "ts").agg(*plugin.final_aggs())
+    return (parts.dropDuplicates(["poly_id", "image_id"])
+            .groupBy("poly_id", "ts").agg(*plugin.final_aggs()))

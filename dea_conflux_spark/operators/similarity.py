@@ -49,14 +49,17 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame,
 
 
 def build_ivf(embeddings: DataFrame, n_centroids: int = 16):
-    """Deterministic IVF index: centroids are the ``n_centroids`` vectors
-    with the smallest vec_id (a seeded sample at scale); each vector is
-    assigned to its nearest centroid via broadcast join + ranking window.
-    Returns (assignments (vec_id, v, cid), centroids (cid, cv)).  At 10^12
-    scale this is one broadcast pass — the centroid table is tiny, the
-    assignment shuffles nothing."""
+    """Deterministic IVF index: centroids are a deterministic pseudo-random
+    sample — the ``n_centroids`` vectors with the smallest md5(vec_id)
+    (hash order is uncorrelated with insertion/id order, so the sample
+    spreads across the corpus; a TakeOrdered pass, no shuffle); each
+    vector is assigned to its nearest centroid via broadcast join +
+    ranking window.  Returns (assignments (vec_id, v, cid), centroids
+    (cid, cv)).  At 10^12 scale this is one broadcast pass — the centroid
+    table is tiny, the assignment shuffles nothing."""
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    cents = (e.orderBy("vec_id").limit(n_centroids)
+    cents = (e.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+             .orderBy("_h").limit(n_centroids)
              .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
     d = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))

@@ -76,6 +76,31 @@ def stack_waterbodies(drill_df: DataFrame, out_dir: str,
        .option("header", True).csv(out_dir))
 
 
+WIT_STACK_COLS = ["water", "wet", "pv", "npv", "bs", "pc_missing",
+                  "norm_pv", "norm_npv", "norm_bs"]
+
+
+def stack_wit(drill_df: DataFrame, out_dir: str,
+              dedup: bool = True) -> DataFrame:
+    """WIT stacking (reference stack.py:367-439 ``stack_wit_tooling`` +
+    save_df_as_csv:228-291): quality day-dedup (same 60 s midnight-wrap
+    rule as waterbodies, reference stack.py:174-205), then the WIT
+    vegetation normalisation, then one time-sorted CSV partition per
+    polygon — the reference's ``{feature_id}.csv`` files become
+    ``poly_id=<uid>/`` Hive partitions written by ONE distributed job
+    instead of a thread pool over per-polygon pandas frames.
+
+    Returns the stacked DataFrame (also written to ``out_dir``)."""
+    df = dedup_timeseries(drill_df) if dedup else drill_df
+    df = wit_normalise(df)
+    out = df.select("poly_id", "ts", *WIT_STACK_COLS)
+    (out.repartition("poly_id")
+        .sortWithinPartitions("poly_id", "ts")
+        .write.mode("overwrite").partitionBy("poly_id")
+        .option("header", True).csv(out_dir))
+    return out
+
+
 def observations_fact(drill_df: DataFrame) -> DataFrame:
     """The observations fact table (reference db.py:70-84 schema):
     (poly_id, px_wet, pc_wet, pc_missing, platform, ts).  Surrogate int
@@ -107,6 +132,54 @@ def waterbodies_dim(polygons: DataFrame) -> DataFrame:
     return polygons.select("poly_id").mapInPandas(
         dec, schema=("poly_id string, wb_name string, centroid_lat double, "
                      "centroid_lon double"))
+
+
+def db_to_csv(observations: DataFrame, out_dir: str, split_num: int = 1,
+              index_num: int = 0, dedup: bool = True) -> DataFrame:
+    """Sharded observations -> per-polygon CSV export (reference
+    stack.py:595-734 ``stack_waterbodies_db_to_csv``): the waterbody id
+    list is split into ``split_num`` contiguous chunks (np.array_split
+    semantics, reference stack.py:723 — ntile over the ordered id dim)
+    and only chunk ``index_num`` is exported, one time-sorted CSV
+    partition per polygon under the reference's ``{uid[:4]}/{uid}``
+    prefix layout (stack.py:702-706).
+
+    The ntile window runs on the distinct-id DIM table only (single
+    partition of polygon ids, never the fact rows), then a broadcast
+    semi-join prunes the observations — shard selection costs one pass
+    over ids, not a shuffle of observations.
+
+    Returns the selected id frame (for callers orchestrating shards)."""
+    ids = observations.select("poly_id").distinct()
+    chunk = ids.withColumn(
+        "_chunk", F.ntile(split_num).over(W.orderBy("poly_id")) - 1)
+    sel = chunk.filter(F.col("_chunk") == index_num).select("poly_id")
+    obs = observations.join(F.broadcast(sel), "poly_id", "left_semi")
+    if dedup:
+        obs = dedup_timeseries(obs)
+    out = obs.withColumn("uid4", F.substring("poly_id", 1, 4))
+    (out.repartition("poly_id")
+        .sortWithinPartitions("poly_id", "ts")
+        .write.mode("overwrite").partitionBy("uid4", "poly_id")
+        .option("header", True).csv(out_dir))
+    return sel
+
+
+def jdbc_write_observations(df: DataFrame, url: str,
+                            table: str = "waterbody_observations",
+                            mode: str = "append",
+                            properties: dict | None = None) -> None:
+    """JDBC observations sink (reference stack.py:509-592
+    ``stack_waterbodies_db`` + db.py:87-96 engine wiring): one distributed
+    ``write.jdbc`` instead of per-row SQLAlchemy sessions.
+
+    NOTE: this sandbox ships no JDBC driver jars, so the call fails with
+    ClassNotFound here — the function is the documented integration
+    point (schema contract = :func:`observations_fact`), exercised by a
+    gated test that asserts the failure mode is the missing driver, not
+    the pipeline."""
+    df.write.jdbc(url=url, table=table, mode=mode,
+                  properties=properties or {})
 
 
 def single_file_delivery(df: DataFrame, out_dir: str, metric_cols,

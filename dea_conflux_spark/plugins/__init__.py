@@ -22,12 +22,19 @@ from .waterbodies import WaterbodiesC3
 from .sum_wet import SumWet
 from .wit import WitLs9
 from .wo_flags import WoFlags
+from .variants import (WaterbodiesC2, WitLs5, WitLs7, WitLs8,
+                       WofsAlbersFlags)
 
 REGISTRY = {
     "waterbodies_c3": WaterbodiesC3(),
+    "waterbodies": WaterbodiesC2(),
     "sum_wet": SumWet(),
     "ga_ls_wo_3_flags": WoFlags(),
+    "wofs_albers_flags": WofsAlbersFlags(),
     "wit_ls9": WitLs9(),
+    "wit_ls8": WitLs8(),
+    "wit_ls7": WitLs7(),
+    "wit_ls5": WitLs5(),
 }
 
 

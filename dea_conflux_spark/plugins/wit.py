@@ -44,6 +44,11 @@ OUT_BANDS = ["pv", "npv", "bs", "wet", "water"]
 class WitLs9(DrillSpec):
     name = "wit_ls9"
     version = "0.0.1"
+    # product wiring (reference wit_ls9.conflux.py:19-30); satellite
+    # variants in plugins/variants.py override ard_product only
+    ard_product = "ga_ls9c_ard_3"
+    input_products = ("ga_ls_wo_3", "ga_ls_fc_3")
+    resolution = (-30, 30)
 
     partial_fields = ([("n_px", "long"), ("n_mask", "long")]
                       + [(f"sum_{b}", "double") for b in OUT_BANDS])

@@ -26,6 +26,15 @@ FLAGS = {
 class WoFlags(DrillSpec):
     name = "ga_ls_wo_3_flags"
     version = "0.0.1"
+    FLAGS = FLAGS  # per-product flag-name wiring; variants override
+
+    def __init_subclass__(cls, **kw):
+        # rebuild the schema-bearing fields from the subclass's FLAGS
+        super().__init_subclass__(**kw)
+        cls.partial_fields = [("nan_sum", "long")] + [
+            (f"{f}_sum", "long") for f in cls.FLAGS]
+        cls.output_fields = [("nan", "double")] + [
+            (f, "double") for f in cls.FLAGS]
 
     partial_fields = [("nan_sum", "long")] + [
         (f"{f}_sum", "long") for f in FLAGS
@@ -40,19 +49,19 @@ class WoFlags(DrillSpec):
         nan_sum = int(np.isnan(v).sum())
         iv = v[~np.isnan(v)].astype(np.int64)
         return (nan_sum, *[int(((iv & (1 << bit)) > 0).sum())
-                           for bit in FLAGS.values()])
+                           for bit in self.FLAGS.values()])
 
     def final_aggs(self):
         from pyspark.sql import functions as F
 
         return [F.sum("nan_sum").cast("double").alias("nan")] + [
-            F.sum(f"{f}_sum").cast("double").alias(f) for f in FLAGS
+            F.sum(f"{f}_sum").cast("double").alias(f) for f in self.FLAGS
         ]
 
     def summarise_numpy(self, bands_flat: dict) -> dict:
         v = bands_flat["water"]
         out = {"nan": float(np.isnan(v).sum())}
         iv = v[~np.isnan(v)].astype(np.int64)
-        for f, bit in FLAGS.items():
+        for f, bit in self.FLAGS.items():
             out[f] = float(((iv & (1 << bit)) > 0).sum())
         return out

@@ -376,3 +376,14 @@ def ann_ivf_topk(spark, sf):
          .select(F.col("vec_id").cast("string").alias("qid"),
                  F.col("embedding").alias("qv")))
     return similarity.ivf_topk(e, q, k=5, n_centroids=16, nprobe=16)
+
+
+def ann_ivf_partial_probe(spark, sf):
+    """The actually-approximate IVF configuration (nprobe < n_centroids):
+    each query scans only 4 of 16 centroid buckets.  Gated rows-only (no
+    exact SQL analogue — recall floor asserted in tests)."""
+    e = _t(spark, sf, "embeddings")
+    q = (e.filter("vec_id < 3")
+         .select(F.col("vec_id").cast("string").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    return similarity.ivf_topk(e, q, k=5, n_centroids=16, nprobe=4)

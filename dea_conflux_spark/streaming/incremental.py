@@ -32,8 +32,22 @@ def nrt_drill_stream(spark, tiles_path: str, polygons, plugin,
         if batch_df.isEmpty():
             return
         parts = drill_partials(batch_df, polygons, plugin, grid)
-        (parts.withColumn("day", F.date_format("ts", "yyyyMMdd"))
-         .write.mode("append").partitionBy("day").parquet(out_dir))
+        parts = (parts.withColumn("day", F.date_format("ts", "yyyyMMdd"))
+                 .withColumn("epoch", F.lit(int(epoch_id)).cast("long")))
+        # Exactly-once SINK semantics: output is keyed by epoch and
+        # dynamically overwritten, so a micro-batch retried after a
+        # mid-write failure replaces its own partitions instead of
+        # appending the same epoch's partials twice (the streaming
+        # checkpoint alone only guarantees the batch is re-delivered).
+        sess = batch_df.sparkSession
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
+                             "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (parts.write.mode("overwrite").partitionBy("epoch", "day")
+             .parquet(out_dir))
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     writer = (stream.writeStream.foreachBatch(run_batch)
               .option("checkpointLocation", checkpoint))

@@ -150,6 +150,21 @@ def test_edge_directions():
     assert d3["North"] and d3["West"] and not d3["South"] and not d3["East"]
 
 
+def test_edge_directions_original_edge_on_boundary():
+    """Degenerate case (reference boundary.difference semantics,
+    drill.py:140): an ORIGINAL polygon edge lying exactly on the extent
+    rect is not clip-introduced and must not raise an overflow flag."""
+    # bottom edge exactly on y=0; polygon otherwise fully inside
+    sq = [[[20, 0], [60, 0], [60, 30], [20, 30]]]
+    d = geom.edge_directions(sq, 0, 0, 100, 100)
+    assert not any(d.values())
+    # bottom edge on y=0 AND genuine overflow east: only East flags
+    sq2 = [[[20, 0], [120, 0], [120, 30], [20, 30]]]
+    d2 = geom.edge_directions(sq2, 0, 0, 100, 100)
+    assert d2 == {"North": False, "South": False, "East": True,
+                  "West": False}
+
+
 def test_geohash_roundtrip():
     lat, lon = -35.3, 149.1
     gh = geom.geohash_encode(lat, lon, 9)

@@ -58,12 +58,30 @@ def test_sum_wet_matches_oracle(tiles, polygons, grid, polys, tiles_pdf):
     _compare(got, exp, ["water"])
 
 
-def test_wo_flags_matches_oracle(tiles, polygons, grid, polys, tiles_pdf):
-    plugin = get_plugin("ga_ls_wo_3_flags")
+@pytest.mark.parametrize("name", ["ga_ls_wo_3_flags", "wofs_albers_flags"])
+def test_wo_flags_matches_oracle(tiles, polygons, grid, polys, tiles_pdf,
+                                 name):
+    plugin = get_plugin(name)
     got = drill_op.drill(tiles, polygons, plugin, grid, partial=False).toPandas()
     exp = oracle.oracle_drill(grid, polys, tiles_pdf, plugin, partial=False)
     assert len(got) == len(exp) > 0
     _compare(got, exp, [c for c, _ in plugin.output_fields])
+    if name == "wofs_albers_flags":
+        # C2 flag names present (reference wofs_albers_flags.conflux.py:19-28)
+        assert {"sea", "terrain_or_low_angle"} <= set(got.columns)
+
+
+def test_waterbodies_c2_matches_oracle(tiles, polygons, grid, polys,
+                                       tiles_pdf):
+    """C2 'waterbodies' plugin alias (reference waterbodies.conflux.py):
+    same wet/dry/missing drill semantics as C3."""
+    plugin = get_plugin("waterbodies")
+    got = drill_op.drill(tiles, polygons, plugin, grid,
+                         partial=False).toPandas()
+    exp = oracle.oracle_drill(grid, polys, tiles_pdf, plugin, partial=False)
+    assert len(got) == len(exp) > 0
+    _compare(got, exp, ["px_wet", "pc_wet", "pc_missing"])
+    assert plugin.resolution == (-25, 25)
 
 
 def test_tile_assignments_match_oracle(tiles, polygons, grid, polys):

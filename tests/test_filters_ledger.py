@@ -97,3 +97,69 @@ def test_lineage_metrics(spark, tiles, polygons, grid):
     lin = ledger.lineage_metrics(parts).toPandas()
     assert (lin["n_polys"] >= 1).all()
     assert (lin["n_px_assigned"] > 0).all()
+
+
+def test_resumable_drill_crash_after_write_no_double_count(
+        spark, tiles, polygons, grid, polys, tiles_pdf, tmp_path,
+        monkeypatch):
+    """ADVICE round-1: a crash AFTER the partials commit but BEFORE
+    mark_done must not double-count on retry — the retried batch reuses
+    the same batch id and dynamically overwrites its own partitions."""
+    plugin = get_plugin("waterbodies_c3")
+    out = str(tmp_path / "partials")
+    led = str(tmp_path / "ledger")
+
+    # crash injection: first mark_done dies after the output commit
+    real_mark_done = ledger.Ledger.mark_done
+    calls = {"n": 0}
+
+    def dying_mark_done(self, image_ids, batch=0):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before ledger append")
+        return real_mark_done(self, image_ids, batch)
+
+    monkeypatch.setattr(ledger.Ledger, "mark_done", dying_mark_done)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ledger.run_drill_resumable(tiles, polygons, plugin, grid, out, led)
+    # retry: ledger did not advance -> same batch id -> overwrite, not dup
+    n = ledger.run_drill_resumable(tiles, polygons, plugin, grid, out, led)
+    assert n == tiles.count()
+
+    final = ledger.finalize_drill(spark, out, plugin).toPandas()
+    exp = oracle.oracle_drill(grid, polys, tiles_pdf, plugin, partial=False)
+    final = final.sort_values(["poly_id", "ts"]).reset_index(drop=True)
+    exp = exp.sort_values(["poly_id", "ts"]).reset_index(drop=True)
+    assert list(final["poly_id"]) == list(exp["poly_id"])
+    np.testing.assert_allclose(final["px_wet"], exp["px_wet"],
+                               equal_nan=True)
+    # and the raw partials hold no duplicate (poly, tile) rows
+    parts = spark.read.parquet(out)
+    assert parts.count() == parts.dropDuplicates(
+        ["poly_id", "image_id"]).count()
+
+
+def test_lineage_appends_incrementally(spark, tiles, polygons, grid,
+                                       tiles_pdf, tmp_path):
+    """VERDICT round-1 #10: lineage rows are computed from each batch's
+    partials only and appended — two batches yield per-batch lineage whose
+    union covers exactly the drilled tiles."""
+    plugin = get_plugin("waterbodies_c3")
+    out = str(tmp_path / "partials")
+    led = str(tmp_path / "ledger")
+    half_ids = sorted(tiles_pdf["image_id"])[: len(tiles_pdf) // 2]
+    half = tiles.filter(F.col("image_id").isin(half_ids))
+
+    ledger.run_drill_resumable(half, polygons, plugin, grid, out, led)
+    lin1 = spark.read.parquet(out + "_lineage").toPandas()
+    assert set(lin1["batch"]) == {0}
+    n_batch1 = len(lin1)
+
+    ledger.run_drill_resumable(tiles, polygons, plugin, grid, out, led)
+    lin2 = spark.read.parquet(out + "_lineage").toPandas()
+    assert set(lin2["batch"]) == {0, 1}
+    # batch-0 rows untouched (append, not a full-history rewrite)
+    assert len(lin2[lin2["batch"] == 0]) == n_batch1
+    # batch-1 lineage covers only batch-1 tiles
+    b1_tiles = set(lin2[lin2["batch"] == 1]["image_id"])
+    assert b1_tiles.isdisjoint(set(lin1["image_id"]))

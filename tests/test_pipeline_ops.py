@@ -158,6 +158,20 @@ def test_brute_topk_matches_numpy(embeddings, queries):
                                    atol=2e-4)
 
 
+def test_ivf_partial_probe_recall_floor(embeddings, queries):
+    """Recall floor for the gated ann_ivf_partial_probe configuration
+    (nprobe=4 of 16 centroids, deterministic md5-sampled seeds)."""
+    exact = similarity.brute_topk(embeddings, queries, k=5).toPandas()
+    approx = similarity.ivf_topk(embeddings, queries, k=5,
+                                 n_centroids=16, nprobe=4).toPandas()
+    hits = 0
+    for qid in ["0", "1", "2"]:
+        e = set(exact[exact.qid == qid]["vec_id"])
+        a = set(approx[approx.qid == qid]["vec_id"])
+        hits += len(e & a)
+    assert hits >= 9  # >= 60% recall@5 over the 3 queries
+
+
 def test_ivf_topk_recall(embeddings, queries):
     exact = similarity.brute_topk(embeddings, queries, k=5).toPandas()
     approx = similarity.ivf_topk(embeddings, queries, k=5,

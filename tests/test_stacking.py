@@ -91,3 +91,111 @@ def test_single_file_delivery(dup_scenario, tmp_path):
     assert len(csvs) == 1  # coalesced single file
     df = pd.read_csv(csvs[0])
     assert len(df) == 8 and round(df["pc_wet"].iloc[0], 2) == df["pc_wet"].iloc[0]
+
+
+@pytest.fixture()
+def wit_dup_scenario(spark):
+    """WIT analogue of the duplicate fixture (reference
+    tests/test_stack.py:112-124 semantics): one polygon, 8 WIT drill rows
+    (two same-day pairs + two midnight-wrap pairs) -> 4 survivors."""
+    P = "r3bz75m73"
+    rows = []
+    for k, (ts, keepme) in enumerate([
+        (dt.datetime(2021, 1, 5, 1, 0, 0), False),
+        (dt.datetime(2021, 1, 5, 9, 0, 0), True),    # lower pc_missing
+        (dt.datetime(2021, 2, 1, 2, 0, 0), True),
+        (dt.datetime(2021, 2, 1, 22, 0, 0), False),
+        (dt.datetime(2021, 3, 9, 23, 59, 54), False),  # wrap: earlier drops
+        (dt.datetime(2021, 3, 10, 0, 0, 18), True),
+        (dt.datetime(2021, 4, 20, 23, 59, 54), False),
+        (dt.datetime(2021, 4, 21, 0, 0, 18), True),
+    ]):
+        pv, npv, bs = 0.5 + 0.01 * k, 0.2, 0.3
+        rows.append((P, ts, 0.10, 0.05, pv, npv, bs,
+                     0.01 if keepme else 0.50))
+    return spark.createDataFrame(
+        rows, "poly_id string, ts timestamp, water double, wet double, "
+              "pv double, npv double, bs double, pc_missing double")
+
+
+def test_stack_wit_end_to_end(wit_dup_scenario, tmp_path):
+    """WIT stack parity: dedup (8 -> 4) + normalisation + per-uid CSV in
+    one pipeline, values allclose vs an independent pandas oracle
+    implementing reference save_df_as_csv:254-286."""
+    import glob
+
+    import numpy as np
+
+    out = str(tmp_path / "wit_stacked")
+    stacking.stack_wit(wit_dup_scenario, out)
+    parts = glob.glob(f"{out}/poly_id=*/*.csv")
+    assert len(parts) >= 1
+    got = pd.concat([pd.read_csv(p) for p in parts]).sort_values(
+        "ts").reset_index(drop=True)
+    assert len(got) == 4
+
+    # pandas oracle: quality day-dedup + 60 s rule, then normalisation
+    pdf = wit_dup_scenario.toPandas().sort_values("ts")
+    pdf["day"] = pdf["ts"].dt.strftime("%Y-%m-%d")
+    best = (pdf.sort_values(["pc_missing", "ts"])
+            .drop_duplicates("day", keep="first").sort_values("ts"))
+    nxt = best["ts"].shift(-1)
+    keep = nxt.isna() | ((nxt - best["ts"]).dt.total_seconds() >= 60)
+    exp = best[keep].reset_index(drop=True)
+    veg = 1 - exp["water"] - exp["wet"]
+    total = exp["pv"] + exp["npv"] + exp["bs"]
+    for band in ("pv", "npv", "bs"):
+        exp[f"norm_{band}"] = np.where(total != 0,
+                                       exp[band] / total * veg, exp[band])
+    got_ts = pd.to_datetime(got["ts"], utc=True).dt.tz_localize(None)
+    assert list(got_ts) == list(exp["ts"])
+    for band in ("pv", "npv", "bs"):
+        np.testing.assert_allclose(got[f"norm_{band}"], exp[f"norm_{band}"],
+                                   rtol=1e-9, err_msg=band)
+    # the reference CSV column complement (feature_id == hive partition key)
+    assert {"water", "wet", "pv", "npv", "bs", "pc_missing",
+            "norm_pv", "norm_npv", "norm_bs", "ts"} <= set(got.columns)
+
+
+def test_db_to_csv_sharded(spark, tmp_path):
+    """Sharded export: 5 polygons split into 2 chunks (np.array_split
+    semantics: sizes 3 + 2); each shard writes only its polygons under
+    the {uid[:4]}/{uid} layout."""
+    import glob
+
+    rows = []
+    for i, pid in enumerate(["aaaa1", "bbbb2", "cccc3", "dddd4", "eeee5"]):
+        for d in range(3):
+            rows.append((pid, dt.datetime(2021, 1, 1 + d, 12, 0, 0),
+                         float(i), 0.1 * i, 0.01))
+    obs = spark.createDataFrame(
+        rows, "poly_id string, ts timestamp, px_wet double, pc_wet double, "
+              "pc_missing double")
+    out0 = str(tmp_path / "shard0")
+    out1 = str(tmp_path / "shard1")
+    sel0 = stacking.db_to_csv(obs, out0, split_num=2, index_num=0)
+    sel1 = stacking.db_to_csv(obs, out1, split_num=2, index_num=1)
+    ids0 = sorted(r.poly_id for r in sel0.collect())
+    ids1 = sorted(r.poly_id for r in sel1.collect())
+    assert ids0 == ["aaaa1", "bbbb2", "cccc3"] and ids1 == ["dddd4", "eeee5"]
+    got0 = {p.split("poly_id=")[1].split("/")[0]
+            for p in glob.glob(f"{out0}/uid4=*/poly_id=*/*.csv")}
+    got1 = {p.split("poly_id=")[1].split("/")[0]
+            for p in glob.glob(f"{out1}/uid4=*/poly_id=*/*.csv")}
+    assert got0 == set(ids0) and got1 == set(ids1)
+    # uid[:4] prefix layout (reference stack.py:702-706)
+    assert glob.glob(f"{out0}/uid4=aaaa/poly_id=aaaa1/*.csv")
+
+
+def test_jdbc_sink_fails_on_missing_driver_only(spark, tmp_path):
+    """The JDBC leg is unexercisable in this sandbox (no driver jars);
+    assert the integration point fails on the DRIVER, not on the
+    pipeline/schema — the documented boundary."""
+    obs = stacking.observations_fact(spark.createDataFrame(
+        [("p1", 1.0, 0.1, 0.0, dt.datetime(2021, 1, 1))],
+        "poly_id string, px_wet double, pc_wet double, pc_missing double, "
+        "ts timestamp"))
+    with pytest.raises(Exception, match="ClassNotFound|No suitable driver"):
+        stacking.jdbc_write_observations(
+            obs, "jdbc:postgresql://localhost:5432/waterbodies",
+            properties={"driver": "org.postgresql.Driver"})

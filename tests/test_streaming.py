@@ -48,3 +48,29 @@ def test_windowed_tile_counts(spark, tiles_path, grid):
     out = spark.sql("select * from win_counts").toPandas()
     assert len(out) == grid.T
     assert (out["n_tiles"] == grid.G * grid.G).all()
+
+
+def test_nrt_epoch_retry_overwrites_not_appends(spark, tiles_path, polygons,
+                                                grid, polys, tiles_pdf,
+                                                tmp_path):
+    """ADVICE round-1: a retried micro-batch (same epoch ids, e.g. after a
+    mid-write failure) must replace its own epoch partitions, not append
+    them twice.  Simulated by re-running the stream with a FRESH
+    checkpoint over the same source and sink: every epoch re-fires with
+    the same ids/data and must dynamically overwrite itself."""
+    plugin = get_plugin("waterbodies_c3")
+    out = str(tmp_path / "parts")
+    q = incremental.nrt_drill_stream(spark, tiles_path, polygons, plugin,
+                                     grid, out, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(out).count()
+    q2 = incremental.nrt_drill_stream(spark, tiles_path, polygons, plugin,
+                                      grid, out, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    parts = spark.read.parquet(out)
+    assert parts.count() == n_first  # overwritten, not doubled
+    assert parts.count() == parts.dropDuplicates(
+        ["poly_id", "image_id"]).count()
+    final = finalize_drill(spark, out, plugin).toPandas()
+    exp = oracle.oracle_drill(grid, polys, tiles_pdf, plugin, partial=False)
+    assert len(final) == len(exp)

@@ -32,9 +32,11 @@ def wit_tiles_pdf(grid, polys):
     return datagen.make_wit_tiles_pdf(grid, polys)
 
 
+@pytest.mark.parametrize("name", ["wit_ls9", "wit_ls8", "wit_ls7",
+                                  "wit_ls5"])
 def test_wit_drill_matches_oracle(spark, grid, polys, polygons,
-                                  wit_tiles_pdf):
-    plugin = get_plugin("wit_ls9")
+                                  wit_tiles_pdf, name):
+    plugin = get_plugin(name)
     tiles = spark.createDataFrame(wit_tiles_pdf, schema=datagen.TILE_SCHEMA)
     got = drill_op.drill(tiles, polygons, plugin, grid,
                          partial=False).toPandas()
