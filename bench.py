@@ -39,7 +39,7 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 G = int(os.environ.get("SPARK_GRAFT_BENCH_G", "32"))
 T = int(os.environ.get("SPARK_GRAFT_BENCH_T", "8"))
 W = int(os.environ.get("SPARK_GRAFT_BENCH_W", "128"))
-REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "16"))
+REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "64"))
 
 
 def _grid_and_polys():
@@ -100,7 +100,12 @@ def run_drill(spark, path: str, warmup: bool = True,
 
     grid, polys = _grid_and_polys()
     n_parts = max(128, 16 * spark.sparkContext.defaultParallelism)
-    tiles = _replicate(spark.read.parquet(path), REP).coalesce(n_parts).cache()
+    # Cache only the STORED tiles (~134 MB); the REP-fold replication is
+    # pure JVM expressions applied per scan, so the timed job streams
+    # replicated rows without materialising REP x the bytes in memory
+    # (caching the exploded table OOMed the shared local JVM at REP=64).
+    base = spark.read.parquet(path).coalesce(n_parts).cache()
+    tiles = _replicate(base, REP)
     # metadata-only source: parquet column pruning reads just image_id, so
     # the footprint/extent passes never touch the bytes column
     meta = tile_meta(_replicate(spark.read.parquet(path).select("image_id"),
@@ -115,7 +120,7 @@ def run_drill(spark, path: str, warmup: bool = True,
         small = spark.read.parquet(path).filter(
             F.col("image_id").startswith("t0000"))
         drill_op.drill(small, polygons, plugin, grid, partial=False).count()
-        tiles.count()  # materialise the cache outside the timed window
+        base.count()  # materialise the cache outside the timed window
     dt = float("inf")
     for _ in range(max(1, repeat)):
         t0 = time.monotonic()

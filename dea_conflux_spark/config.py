@@ -52,6 +52,10 @@ def get_spark(app: str = "dea-conflux-spark", cpus: int | str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+        # byte-heavy tile rows (~16 KB each): the default 10k-row columnar
+        # cache batch means ~160 MB allocations per batch -> GC spikes;
+        # 512 rows keeps cached batches ~8 MB
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.worker.idleTimeoutSeconds", "300")

@@ -81,30 +81,38 @@ def contains(prep: Prepared, px, py) -> np.ndarray:
 
 def contains_grid(prep: Prepared, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """PIP over a raster grid given pixel-center coordinate axes ``xs`` (W,)
-    and ``ys`` (H,).  Vectorised scanline: x-intercepts of all edges against
-    all rows in one (E, H) pass, then a parity count over the (E, H, W)
-    comparison — no per-row Python.  Row-chunked when the broadcast would
-    exceed ~32M cells.  Returns (H, W) bool."""
+    and ``ys`` (H,).  Exact vectorised scanline in O(E·H·logW + H·W):
+
+    1. x-intercepts of all edges against all rows in one (E, H) pass,
+    2. each intercept becomes a column index ``c`` = #pixel centres left
+       of it (``searchsorted`` — the identical strict ``xint > x`` float
+       comparison the naive (E, H, W) broadcast would do),
+    3. per row, #crossings right of pixel j = #intercepts with c > j =
+       E - cumsum(bincount(c))[j]; its parity is containment.
+
+    Replaces the former (E, H, W) boolean broadcast: same results bit for
+    bit, ~E× fewer inner ops and O(H·W) instead of O(E·H·W) memory
+    traffic (the drill UDF's hot loop).  Returns (H, W) bool."""
     H, W = len(ys), len(xs)
     x1 = prep.x1[:, None]
     y1 = prep.y1[:, None]
     x2 = prep.x2[:, None]
     y2 = prep.y2[:, None]
     E = len(prep.x1)
+    yrow = ys[None, :]
+    cond = (y1 > yrow) != (y2 > yrow)  # (E, H)
     with np.errstate(divide="ignore", invalid="ignore"):
         slope = (x2 - x1) / (y2 - y1)
-    out = np.empty((H, W), dtype=bool)
-    chunk = max(1, int(32_000_000 / max(1, E * W)))
-    for i0 in range(0, H, chunk):
-        yrow = ys[None, i0:i0 + chunk]
-        cond = (y1 > yrow) != (y2 > yrow)  # (E, h)
-        with np.errstate(invalid="ignore"):
-            xint = x1 + (yrow - y1) * slope  # (E, h)
-        # non-crossing edges can never lie right of a pixel
-        xint = np.where(cond, xint, -np.inf)
-        cross = xint[:, :, None] > xs[None, None, :]  # (E, h, W)
-        out[i0:i0 + chunk] = (cross.sum(axis=0) & 1).astype(bool)
-    return out
+        xint = x1 + (yrow - y1) * slope  # (E, H)
+    # non-crossing edges can never lie right of a pixel
+    xint = np.where(cond, xint, -np.inf)
+    # c[e, i] = number of pixel centres strictly left of the intercept
+    c = np.searchsorted(xs, xint.ravel(), side="left").reshape(E, H)
+    # per-row histogram of intercept columns via one flat bincount
+    lin = (np.arange(H)[None, :] * (W + 1) + c).ravel()
+    hist = np.bincount(lin, minlength=H * (W + 1)).reshape(H, W + 1)
+    crossings_right = E - np.cumsum(hist, axis=1)[:, :W]
+    return (crossings_right & 1).astype(bool)
 
 
 def area(rings) -> float:

@@ -189,6 +189,12 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                 "image_id", r"_y(\d+)$", 1).cast("int"))
             .join(fc, ["gx", "gy"]))
 
+    # Co-locate same-footprint tiles inside each partition: ownership
+    # (pixel -> polygon) is timestep-invariant per grid slot, so adjacent
+    # footprint repeats turn the per-tile rasterisation into a cache hit.
+    # Partition-local sort — no shuffle, tile bytes stay put.
+    work = work.sortWithinPartitions("gx", "gy")
+
     grid_b = sc.broadcast(grid)
     schema = plugin.partial_schema
 
@@ -199,6 +205,43 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
         # in this task reuse the Prepared edge arrays instead of
         # rebuilding them per tile (bounded by the task's candidate set)
         prep_cache: dict = {}
+        # owner cache: the pixel->polygon assignment depends only on the
+        # footprint geometry and candidate set — every timestep of a grid
+        # slot reuses it, so rasterisation cost is O(distinct footprints),
+        # not O(tiles).  Small cap: the partition-local sort makes repeats
+        # adjacent, so a handful of entries achieves ~full reuse.
+        owner_cache: dict = {}
+
+        def owner_for(gx, gy, h, w, cands, x0, y0, tx1, ty1, xs, ys):
+            key = (gx, gy, h, w)
+            cached = owner_cache.get(key)
+            if cached is not None:
+                return cached
+            owner = np.full((h, w), -1, dtype=np.int32)
+            for ordinal, pid in cands:
+                prep = prep_cache[pid]
+                bx0, by0, bx1, by1 = prep.bbox
+                if bx1 <= x0 or bx0 >= tx1 or by1 <= y0 or by0 >= ty1:
+                    continue
+                if (bx0 <= x0 and bx1 >= tx1 and by0 <= y0
+                        and by1 >= ty1
+                        and geom.rect_fully_inside(prep, x0, y0, tx1, ty1)):
+                    owner[:, :] = ordinal  # interior fast path: no PIP
+                    continue
+                j0 = int(np.searchsorted(xs, bx0))
+                j1 = int(np.searchsorted(xs, bx1))
+                i0 = int(np.searchsorted(ys, by0))
+                i1 = int(np.searchsorted(ys, by1))
+                if j0 >= j1 or i0 >= i1:
+                    continue
+                sub = geom.contains_grid(prep, xs[j0:j1], ys[i0:i1])
+                view = owner[i0:i1, j0:j1]
+                view[sub] = ordinal
+            if len(owner_cache) >= 64:
+                owner_cache.clear()
+            owner_cache[key] = owner
+            return owner
+
         for pdf in batches:
             out = {"poly_id": [], "image_id": [], "ts": []}
             for name, _ in plugin.partial_fields:
@@ -222,26 +265,8 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                     if pid not in prep_cache:
                         prep_cache[pid] = geom.prepare(c["rings"])
                     cands.append((ordinal, pid))
-                owner = np.full((h, w), -1, dtype=np.int32)
-                for ordinal, pid in cands:
-                    prep = prep_cache[pid]
-                    bx0, by0, bx1, by1 = prep.bbox
-                    if bx1 <= x0 or bx0 >= tx1 or by1 <= y0 or by0 >= ty1:
-                        continue
-                    if (bx0 <= x0 and bx1 >= tx1 and by0 <= y0
-                            and by1 >= ty1
-                            and geom.rect_fully_inside(prep, x0, y0, tx1, ty1)):
-                        owner[:, :] = ordinal  # interior fast path: no PIP
-                        continue
-                    j0 = int(np.searchsorted(xs, bx0))
-                    j1 = int(np.searchsorted(xs, bx1))
-                    i0 = int(np.searchsorted(ys, by0))
-                    i1 = int(np.searchsorted(ys, by1))
-                    if j0 >= j1 or i0 >= i1:
-                        continue
-                    sub = geom.contains_grid(prep, xs[j0:j1], ys[i0:i1])
-                    view = owner[i0:i1, j0:j1]
-                    view[sub] = ordinal
+                owner = owner_for(gx, gy, h, w, cands, x0, y0, tx1, ty1,
+                                  xs, ys)
                 bands = plugin.transform(raw)
                 ts = epoch + pd.Timedelta(days=ts_idx)
                 ord2pid = dict(cands)

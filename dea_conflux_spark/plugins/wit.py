@@ -57,7 +57,7 @@ class WitLs9(DrillSpec):
 
     def decode(self, data: bytes, h: int, w: int, fmt: str) -> dict:
         if fmt != "multiraw":
-            raise ValueError(f"wit_ls9 expects multiraw tiles, got {fmt}")
+            raise ValueError(f"{self.name} expects multiraw tiles, got {fmt}")
         return codec.decode_bands(data, h, w, WIT_BANDS)
 
     def transform(self, raw: dict) -> dict:
