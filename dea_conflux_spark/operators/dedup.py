@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .textqa import md5i, norm_text, round4, tokens_col
+from .textqa import ensure_spread, md5i, norm_text, round4, tokens_col
 
 # MinHash parameters (shared with the SQL oracle — keep literal + tiny)
 MH_P = 1_000_000_007
@@ -41,7 +41,8 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     split() expression inside the gram lambda would re-evaluate the regex
     split once per element (no CSE inside nested higher-order functions),
     an O(tokens x split) blowup measured at ~20x on real plans."""
-    tok_df = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    tok_df = ensure_spread(docs).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks"))
     toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
@@ -178,7 +179,8 @@ def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): 60-bit SimHash over tokens (term frequency
     weighted).  Bit j is set iff the signed count of tokens with hash bit j
     set is positive."""
-    toks = (docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    toks = (ensure_spread(docs)
+            .select("doc_id", tokens_col(F.col("text")).alias("toks"))
             .select("doc_id", F.explode("toks").alias("tok"))
             .withColumn("h", md5i(F.col("tok"))))
     j = F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")

@@ -21,6 +21,24 @@ LANG_MARKERS = {
 }
 
 
+def ensure_spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` when its scan yields far fewer splits
+    than the session's parallelism.
+
+    Tokenisation / shingling is the CPU-heavy per-row stage of every text
+    operator; if the input is a handful of large single-row-group parquet
+    files (row groups are Spark's split granularity), the whole stage runs
+    on a few cores.  The one narrow-row shuffle is cheap next to the regex
+    work it parallelises.  On a healthy multi-file layout the scan already
+    has >= parallelism splits and this is a no-op — callers with light
+    per-row work should NOT use it (the exchange would dominate).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(par)
+    return df
+
+
 def md5i(col) -> Column:
     """Deterministic 60-bit integer hash (identical in DuckDB via
     ``('0x' || substr(md5(x),1,15))::BIGINT``)."""
