@@ -361,3 +361,16 @@ def test_connected_components_raises_on_nonconvergence(spark):
         out = dedup.connected_components(chain, max_iter=2,
                                          strict=False).toPandas()
     assert len(out) == 10 and any("converge" in str(x.message) for x in w)
+
+
+def test_ensure_spread_spreads_and_noops(spark):
+    """ensure_spread repartitions a single-split input to the session
+    parallelism and leaves an already-parallel input untouched."""
+    from dea_conflux_spark.operators.textqa import ensure_spread
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    spread = ensure_spread(narrow)
+    assert spread.rdd.getNumPartitions() == par
+    assert spread.count() == 1000
+    wide = spark.range(1000).repartition(par)
+    assert ensure_spread(wide) is wide  # no extra exchange inserted
