@@ -146,12 +146,32 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                    grid: GridSpec, *, base_res: int = BASE_RES,
                    broadcast_cover: bool = True,
                    broadcast_cands: bool = True,
+                   rings: str = "auto",
                    meta: DataFrame | None = None) -> DataFrame:
     """Per-(polygon, tile) partial aggregates:
     ``(poly_id, image_id, ts, <partial cols>)``.  This is the map-side
     combine stage; ``drill`` folds it into final metrics.  Exposed
     separately because the rows double as the tile->polygon assignment
-    record (lineage + golden tests)."""
+    record (lineage + golden tests).
+
+    ``rings`` selects how candidate geometry reaches the workers:
+
+    * ``"dim"`` — one torrent broadcast of the CANDIDATE-PRUNED polygon
+      dimension ({poly_id: (ordinal, rings)}); the per-tile join payload
+      is then just the candidate id list.  A per-footprint ring set
+      attached through the join is re-serialised across the Arrow
+      boundary for EVERY timestep row of the footprint (measured ~2.4x
+      the no-rings floor at 512 timesteps); the dimension broadcast ships
+      each ring set to each executor once.  Geometry is pruned to
+      polygons that are a candidate of at least one footprint in this
+      drill, so broadcast size tracks the queried region, not the layer.
+    * ``"join"`` — rings travel inside the candidate join (attach_rings);
+      nothing is collected at the driver, so this is the scale path when
+      even the pruned dimension outgrows the broadcast budget.
+    * ``"auto"`` (default) — ``dim`` while the pruned candidate dimension
+      is ≤ ~100k polygons (a narrow count on the dim table), else
+      ``join`` — same size-gated strategy switch as broadcast_cover.
+    """
     spark = tiles.sparkSession
     sc = spark.sparkContext
 
@@ -173,15 +193,36 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
     else:
         fc = footprint_candidates_salted(meta_src, poly_cells, grid,
                                          base_res)
-    fc = attach_rings(fc, polygons)
+    rings_b = None
+    if rings == "auto":
+        # candidate-pruned dimension: only polygons that are a candidate
+        # of at least one footprint in this drill
+        cand_ids = fc.select(
+            F.explode("cand_polys").alias("poly_id")).distinct()
+        dim = polygons.join(cand_ids, "poly_id").select(
+            "poly_id", "ordinal", "rings")
+        rings = "dim" if dim.count() <= 100_000 else "join"
+    elif rings == "dim":
+        cand_ids = fc.select(
+            F.explode("cand_polys").alias("poly_id")).distinct()
+        dim = polygons.join(cand_ids, "poly_id").select(
+            "poly_id", "ordinal", "rings")
+    if rings == "dim":
+        rings_b = sc.broadcast({
+            r["poly_id"]: (int(r["ordinal"]), r["rings"])
+            for r in dim.collect()})
+        fc = fc.select("gx", "gy",
+                       F.sort_array("cand_polys").alias("cand_polys"))
+    else:
+        fc = attach_rings(fc, polygons)
     if broadcast_cands:
         fc = F.broadcast(fc)
     # Only the columns the UDF needs cross the Arrow boundary: caption and
     # phash stay JVM-side (columnar pruning keeps them out of the scan too).
     # The candidate attach is a broadcast equi-join on the (gx, gy)
-    # footprint parsed JVM-side from image_id — no shuffle of tile bytes,
-    # and candidate RINGS arrive through the same join (no driver collect,
-    # no whole-layer broadcast — see attach_rings).
+    # footprint parsed JVM-side from image_id — no shuffle of tile bytes;
+    # candidate RINGS arrive via the pruned-dimension broadcast or (scale
+    # path) through the same join — see the ``rings`` docstring above.
     work = (tiles.select("image_id", "bytes", "w", "h", "fmt")
             .withColumn("gx", F.regexp_extract(
                 "image_id", r"_x(\d+)_", 1).cast("int"))
@@ -200,6 +241,7 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
 
     def run(batches):
         g: GridSpec = grid_b.value
+        rmap = rings_b.value if rings_b is not None else None
         epoch = pd.Timestamp(EPOCH)
         # prepared-geometry cache: tiles of the same footprint that land
         # in this task reuse the Prepared edge arrays instead of
@@ -213,6 +255,9 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
         owner_cache: dict = {}
 
         def owner_for(gx, gy, h, w, cands, x0, y0, tx1, ty1, xs, ys):
+            """-> (owner raster, per-slot scratch dict).  The scratch dict
+            shares the owner's cache lifetime; plugins memoize
+            owner-derived index structures in it (base.owner_index)."""
             key = (gx, gy, h, w)
             cached = owner_cache.get(key)
             if cached is not None:
@@ -239,8 +284,9 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                 view[sub] = ordinal
             if len(owner_cache) >= 64:
                 owner_cache.clear()
-            owner_cache[key] = owner
-            return owner
+            entry = (owner, {})
+            owner_cache[key] = entry
+            return entry
 
         for pdf in batches:
             out = {"poly_id": [], "image_id": [], "ts": []}
@@ -260,25 +306,47 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                 xs = x0 + (np.arange(w) + 0.5) * g.px_res
                 ys = y0 + (np.arange(h) + 0.5) * g.px_res
                 cands = []
-                for c in row.cand_polys:
-                    ordinal, pid = int(c["ordinal"]), c["poly_id"]
-                    if pid not in prep_cache:
-                        prep_cache[pid] = geom.prepare(c["rings"])
-                    cands.append((ordinal, pid))
-                owner = owner_for(gx, gy, h, w, cands, x0, y0, tx1, ty1,
-                                  xs, ys)
-                bands = plugin.transform(raw)
+                if rmap is None:
+                    # rings inside the candidate join payload (already in
+                    # ascending-ordinal order via sort_array)
+                    for c in row.cand_polys:
+                        ordinal, pid = int(c["ordinal"]), c["poly_id"]
+                        if pid not in prep_cache:
+                            prep_cache[pid] = geom.prepare(c["rings"])
+                        cands.append((ordinal, pid))
+                else:
+                    # id-only payload; geometry from the pruned-dimension
+                    # broadcast, sorted to ascending drill order
+                    for pid in row.cand_polys:
+                        ordinal, rings_v = rmap[pid]
+                        if pid not in prep_cache:
+                            prep_cache[pid] = geom.prepare(rings_v)
+                        cands.append((ordinal, pid))
+                    cands.sort()
+                owner, scratch = owner_for(gx, gy, h, w, cands, x0, y0,
+                                           tx1, ty1, xs, ys)
                 ts = epoch + pd.Timedelta(days=ts_idx)
                 ord2pid = dict(cands)
-                grouped = plugin.partials_grouped(
-                    bands, owner, [o for o, _ in cands])
+                ords = [o for o, _ in cands]
+                grouped = plugin.partials_grouped_raw(
+                    raw, owner, ords, scratch=scratch)
+                if grouped is None:
+                    bands = plugin.transform(raw)
+                    grouped = plugin.partials_grouped(
+                        bands, owner, ords, scratch=scratch)
                 for ordinal, vals in grouped.items():
                     out["poly_id"].append(ord2pid[ordinal])
                     out["image_id"].append(row.image_id)
                     out["ts"].append(ts)
                     for (name, _), v in zip(plugin.partial_fields, vals):
                         out[name].append(v)
-            yield pd.DataFrame(out)
+            pdf_out = pd.DataFrame(out)
+            if not len(pdf_out):
+                # all-empty batch (no tile had assigned pixels): pandas
+                # infers float64 for the empty ts column, which Arrow
+                # cannot cast to timestamp — pin the dtype explicitly
+                pdf_out["ts"] = pdf_out["ts"].astype("datetime64[ns]")
+            yield pdf_out
 
     return work.mapInPandas(run, schema=schema)
 
@@ -286,7 +354,7 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
 def drill(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
           grid: GridSpec, *, partial: bool = True,
           base_res: int = BASE_RES, broadcast_cover: bool = True,
-          broadcast_cands: bool = True,
+          broadcast_cands: bool = True, rings: str = "auto",
           meta: DataFrame | None = None) -> DataFrame:
     """Run one drill over every tile; returns
     ``(poly_id, ts, <plugin metrics>[, conflux_n/s/e/w])``.
@@ -298,6 +366,7 @@ def drill(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                               base_res=base_res,
                               broadcast_cover=broadcast_cover,
                               broadcast_cands=broadcast_cands,
+                              rings=rings,
                               meta=meta)
     result = partials.groupBy("poly_id", "ts").agg(*plugin.final_aggs())
 

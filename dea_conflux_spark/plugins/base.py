@@ -5,6 +5,36 @@ from __future__ import annotations
 import numpy as np
 
 
+def owner_index(owner: np.ndarray, scratch: dict | None = None):
+    """Flattened index structure of a pixel->ordinal assignment:
+    ``(sel, idx, lo, nb, n_px, nz)`` where ``sel`` selects assigned pixels,
+    ``idx`` is their ordinal rebased by ``lo``, ``n_px`` the per-ordinal
+    pixel counts and ``nz`` the ordinals present.  Returns () for a tile
+    with no assigned pixels.
+
+    Everything here depends only on ``owner`` — never on the band values —
+    so when the drill supplies a per-grid-slot ``scratch`` dict (the owner
+    raster is timestep-invariant) the structure is computed once per slot
+    and reused by every timestep's partials, halving the per-tile numpy
+    work."""
+    if scratch is not None and "oi" in scratch:
+        return scratch["oi"]
+    flat = owner.ravel()
+    sel = flat >= 0
+    if not sel.any():
+        oi = ()
+    else:
+        idx = flat[sel]
+        lo = int(idx.min())
+        idx = idx - lo
+        nb = int(idx.max()) + 1
+        n_px = np.bincount(idx, minlength=nb)
+        oi = (sel, idx, lo, nb, n_px, np.nonzero(n_px)[0])
+    if scratch is not None:
+        scratch["oi"] = oi
+    return oi
+
+
 class DrillSpec:
     """A drill plugin.
 
@@ -49,20 +79,36 @@ class DrillSpec:
         raise NotImplementedError
 
     def partials_grouped(self, bands: dict, owner: np.ndarray,
-                         ordinals: list) -> dict:
+                         ordinals: list, scratch: dict | None = None) -> dict:
         """Partials for EVERY polygon of one tile in one pass.
 
         ``owner`` is the (h, w) int32 pixel->ordinal assignment (-1 =
         unassigned); returns {ordinal: partial tuple} for ordinals with at
-        least one pixel.  Default implementation loops with boolean masks
-        (O(cands x pixels)); count-style plugins override with a single
-        bincount pass (O(pixels)) — the per-tile hot path at scale."""
+        least one pixel.  ``scratch`` (optional) is a dict with the same
+        lifetime as ``owner`` — the drill passes one per grid slot so
+        owner-derived structures (``owner_index``) are computed once per
+        slot, not once per timestep.  Default implementation loops with
+        boolean masks (O(cands x pixels)); count-style plugins override
+        with a single bincount pass (O(pixels)) — the per-tile hot path at
+        scale."""
         out = {}
         for o in ordinals:
             mask = owner == o
             if mask.any():
                 out[o] = self.partials(bands, mask)
         return out
+
+    def partials_grouped_raw(self, raw, owner: np.ndarray,
+                             ordinals: list,
+                             scratch: dict | None = None):
+        """Optional hot-path override: compute the grouped partials
+        directly from the DECODED payload, skipping ``transform``'s
+        float/NaN band materialisation (4 bytes/px of write+read traffic a
+        bitfield plugin never needs — the drill worker is memory-bandwidth
+        bound at high core counts).  MUST be bit-identical to
+        ``transform()`` + ``partials_grouped()``; return ``None`` to use
+        the generic path (default)."""
+        return None
 
     def final_aggs(self):
         raise NotImplementedError

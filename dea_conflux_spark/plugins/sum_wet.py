@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import base
 from .base import DrillSpec
 
 
@@ -25,19 +26,27 @@ class SumWet(DrillSpec):
         return (int(bands["water"][mask].sum()),)
 
     def partials_grouped(self, bands: dict, owner: np.ndarray,
-                         ordinals: list) -> dict:
-        flat = owner.ravel()
-        sel = flat >= 0
-        if not sel.any():
+                         ordinals: list, scratch: dict | None = None) -> dict:
+        oi = base.owner_index(owner, scratch)
+        if not oi:
             return {}
-        idx = flat[sel]
-        lo = int(idx.min())
-        idx = idx - lo
-        nb = int(idx.max()) + 1
+        sel, idx, lo, nb, _n_px, nz = oi
         wet = bands["water"].ravel()[sel] == 1.0
-        n_px = np.bincount(idx, minlength=nb)
         n_wet = np.bincount(idx[wet], minlength=nb)
-        return {o + lo: (int(n_wet[o]),) for o in np.nonzero(n_px)[0]}
+        return {o + lo: (int(n_wet[o]),) for o in nz}
+
+    def partials_grouped_raw(self, raw, owner: np.ndarray,
+                             ordinals: list,
+                             scratch: dict | None = None) -> dict:
+        # bit-identical to transform()+partials_grouped(): wet iff the
+        # raw byte equals 128 — no float band needed
+        oi = base.owner_index(owner, scratch)
+        if not oi:
+            return {}
+        sel, idx, lo, nb, _n_px, nz = oi
+        wet = raw.ravel()[sel] == 128
+        n_wet = np.bincount(idx[wet], minlength=nb)
+        return {o + lo: (int(n_wet[o]),) for o in nz}
 
     def final_aggs(self):
         from pyspark.sql import functions as F

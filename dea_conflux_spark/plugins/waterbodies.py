@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import base
 from .base import DrillSpec
 
 
@@ -41,23 +42,38 @@ class WaterbodiesC3(DrillSpec):
         return (n_px, n_missing, n_wet)
 
     def partials_grouped(self, bands: dict, owner: np.ndarray,
-                         ordinals: list) -> dict:
-        # single gather + three bincounts over the assigned pixels —
-        # O(pixels), independent of candidate count
-        flat = owner.ravel()
-        sel = flat >= 0
-        if not sel.any():
+                         ordinals: list, scratch: dict | None = None) -> dict:
+        # single gather + two band-dependent bincounts over the assigned
+        # pixels — O(pixels), independent of candidate count; the
+        # owner-derived index (+ n_px) comes from the per-slot memo
+        oi = base.owner_index(owner, scratch)
+        if not oi:
             return {}
-        idx = flat[sel]
-        lo = int(idx.min())
-        idx = idx - lo
-        nb = int(idx.max()) + 1
+        sel, idx, lo, nb, n_px, nz = oi
         v = bands["water"].ravel()[sel]
-        n_px = np.bincount(idx, minlength=nb)
         n_missing = np.bincount(idx[np.isnan(v)], minlength=nb)
         n_wet = np.bincount(idx[v == 1.0], minlength=nb)
         return {o + lo: (int(n_px[o]), int(n_missing[o]), int(n_wet[o]))
-                for o in np.nonzero(n_px)[0]}
+                for o in nz}
+
+    def partials_grouped_raw(self, raw, owner: np.ndarray,
+                             ordinals: list,
+                             scratch: dict | None = None) -> dict:
+        # bit-identical to transform()+partials_grouped() without the
+        # float32 NaN band: gather the assigned pixels FIRST, then
+        # classify the uint8 bitfield — water is NaN iff ~is_ok and
+        # ==1.0 iff is_wet (wet implies ok), so the NaN/wet bincounts
+        # are pure boolean counts over the gathered bytes
+        oi = base.owner_index(owner, scratch)
+        if not oi:
+            return {}
+        sel, idx, lo, nb, n_px, nz = oi
+        wofl = raw.ravel()[sel] & 0b11110011
+        is_wet = wofl == 128
+        n_missing = np.bincount(idx[~(is_wet | (wofl == 0))], minlength=nb)
+        n_wet = np.bincount(idx[is_wet], minlength=nb)
+        return {o + lo: (int(n_px[o]), int(n_missing[o]), int(n_wet[o]))
+                for o in nz}
 
     def final_aggs(self):
         from pyspark.sql import functions as F

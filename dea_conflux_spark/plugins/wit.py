@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import codec
+from . import base
 from .base import DrillSpec
 
 WIT_BANDS = [
@@ -91,16 +92,11 @@ class WitLs9(DrillSpec):
         return (n_px, n_mask, *sums)
 
     def partials_grouped(self, bands: dict, owner: np.ndarray,
-                         ordinals: list) -> dict:
-        flat = owner.ravel()
-        sel = flat >= 0
-        if not sel.any():
+                         ordinals: list, scratch: dict | None = None) -> dict:
+        oi = base.owner_index(owner, scratch)
+        if not oi:
             return {}
-        idx = flat[sel]
-        lo = int(idx.min())
-        idx = idx - lo
-        nb = int(idx.max()) + 1
-        n_px = np.bincount(idx, minlength=nb)
+        sel, idx, lo, nb, n_px, nz = oi
         mvals = bands["mask"].ravel()[sel]
         valid = ~np.isnan(mvals)
         n_mask = np.bincount(idx[valid], minlength=nb)
@@ -111,7 +107,7 @@ class WitLs9(DrillSpec):
             sums.append(np.bincount(idx, weights=vv, minlength=nb))
         return {o + lo: (int(n_px[o]), int(n_mask[o]),
                          *[float(s[o]) for s in sums])
-                for o in np.nonzero(n_px)[0]}
+                for o in nz}
 
     def final_aggs(self):
         from pyspark.sql import functions as F

@@ -118,11 +118,11 @@ def test_outside_polygon_absent(c3_result, polys):
 
 
 def test_drill_100k_polygons_no_driver_collect(spark):
-    """Round-2 scale fix: the drill must handle a 100k-polygon layer with
-    rings delivered through the candidate join — no driver-side collect()
-    or whole-layer broadcast exists any more (the round-1 scale ceiling).
-    Driver memory is bounded by the footprint-candidate table, not the
-    polygon count."""
+    """Scale path: the drill must handle a 100k-polygon layer with rings
+    delivered through the candidate join (``rings="join"``) — no
+    driver-side collect() or whole-layer broadcast (the round-1 scale
+    ceiling).  Driver memory is bounded by the footprint-candidate table,
+    not the polygon count."""
     from dea_conflux_spark import datagen as dg
 
     assert not hasattr(drill_op, "_prepared_polys")  # the collect path is gone
@@ -132,8 +132,19 @@ def test_drill_100k_polygons_no_driver_collect(spark):
     tiles = dg.tiles_df(spark, big_grid, big_polys)
     polygons = dg.polygons_df(spark, big_polys)
     res = drill_op.drill(tiles, polygons, get_plugin("sum_wet"), big_grid,
-                         partial=False)
+                         partial=False, rings="join")
     n = res.count()
     # last-wins rasterisation over a dense overlapping layer: thousands of
     # polygons own pixels, bounded by the total pixel budget
     assert 0 < n <= big_grid.G ** 2 * 32 * 32
+
+
+def test_rings_join_and_dim_modes_identical(spark, tiles, polygons, grid):
+    """The two ring-delivery strategies (candidate-join payload vs pruned
+    dimension broadcast) must produce bit-identical drill output."""
+    plugin = get_plugin("waterbodies_c3")
+    a = (drill_op.drill(tiles, polygons, plugin, grid, rings="join")
+         .toPandas().sort_values(["poly_id", "ts"]).reset_index(drop=True))
+    b = (drill_op.drill(tiles, polygons, plugin, grid, rings="dim")
+         .toPandas().sort_values(["poly_id", "ts"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
