@@ -53,6 +53,11 @@ def main(argv=None):
                    choices=sorted(REGISTRY))
     d.add_argument("--resume-ledger", default=None)
     d.add_argument("--no-partial", action="store_true")
+    d.add_argument("--rings", default="auto",
+                   choices=("auto", "dim", "join"),
+                   help="candidate-geometry delivery: pruned dimension "
+                        "broadcast (dim), candidate-join payload (join), "
+                        "or size-gated auto")
     g = sub.choices["get-ids"]
     g.add_argument("--tiles", required=True)
     g.add_argument("--screen", action="store_true")
@@ -96,7 +101,8 @@ def main(argv=None):
                               "rows": final.count()}))
         else:
             res = drill_op.drill(tiles, polygons, plugin, grid,
-                                 partial=not args.no_partial)
+                                 partial=not args.no_partial,
+                                 rings=args.rings)
             (res.withColumn("day", res.ts.cast("date").cast("string"))
              .write.mode("overwrite").partitionBy("day")
              .parquet(f"{args.out}/drill"))

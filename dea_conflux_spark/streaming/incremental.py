@@ -31,7 +31,11 @@ def nrt_drill_stream(spark, tiles_path: str, polygons, plugin,
     def run_batch(batch_df, epoch_id: int):
         if batch_df.isEmpty():
             return
-        parts = drill_partials(batch_df, polygons, plugin, grid)
+        # rings="join": an NRT micro-batch carries ~1 timestep per
+        # footprint, so the join payload is not duplicated — and the
+        # per-batch driver collect of the dim broadcast is avoided
+        parts = drill_partials(batch_df, polygons, plugin, grid,
+                               rings="join")
         parts = (parts.withColumn("day", F.date_format("ts", "yyyyMMdd"))
                  .withColumn("epoch", F.lit(int(epoch_id)).cast("long")))
         # Exactly-once SINK semantics: output is keyed by epoch and
