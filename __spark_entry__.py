@@ -52,6 +52,16 @@ def _flagship_drill(spark, sf_dir):
     return entry(spark)
 
 
+def _flagship_drill_cogrouped(spark, sf_dir):
+    """The Exchange-free huge-layer execution path (Pandas cogroup on the
+    grid-slot key): must emit the same rows as the flagship drill —
+    golden-tested bit-identical in tests/test_drill.py."""
+    tiles, polygons = _synthetic(spark)
+    return drill_op.drill_cogrouped(tiles, polygons,
+                                    get_plugin("waterbodies_c3"), _GRID,
+                                    partial=True)
+
+
 def _sum_wet_drill(spark, sf_dir):
     tiles, polygons = _synthetic(spark)
     return drill_op.drill(tiles, polygons, get_plugin("sum_wet"), _GRID,
@@ -134,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
         "flagship_drill": _flagship_drill,
+        "flagship_drill_cogrouped": _flagship_drill_cogrouped,
         "sum_wet_drill": _sum_wet_drill,
         "knn_points": _knn_points,
     }
@@ -549,12 +560,15 @@ def oracle_sql() -> dict[str, str]:
 
     sql["docs_simhash"] = f"WITH {_SIMHASH} SELECT doc_id, simhash FROM sim"
 
-    # pigeonhole blocking mirrored from dedup.simhash_block_specs:
-    # max_hamming + 1 = 13 disjoint blocks guarantee complete recall <= 12
+    # pigeonhole blocking mirrored from dedup.simhash_block_specs at the
+    # scale-sane gate: max_hamming + 1 = 7 disjoint blocks guarantee
+    # complete recall <= 6 (the h=12 configuration lives in a small-corpus
+    # pytest only — at 8-9 bit blocks the candidate rate stays ~2^-8.6
+    # per block per random pair)
     from dea_conflux_spark.operators.dedup import simhash_block_specs
 
     _blk_vals = ", ".join(f"({q}, {start}, {width})"
-                          for q, start, width in simhash_block_specs(12))
+                          for q, start, width in simhash_block_specs(6))
     sql["docs_simhash_pairs"] = f"""
         WITH {_SIMHASH},
         bs(q, start, width) AS (VALUES {_blk_vals}),
@@ -567,7 +581,7 @@ def oracle_sql() -> dict[str, str]:
                  FROM blk a JOIN blk b ON a.q = b.q AND a.block = b.block
                       AND a.doc_id < b.doc_id)
         SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
-        FROM cand WHERE bit_count(xor(s1, s2)) <= 12
+        FROM cand WHERE bit_count(xor(s1, s2)) <= 6
     """
 
     cos_ab = _EMB_COS.format(a="a.v", b="b.v")

@@ -40,6 +40,10 @@ G = int(os.environ.get("SPARK_GRAFT_BENCH_G", "32"))
 T = int(os.environ.get("SPARK_GRAFT_BENCH_T", "8"))
 W = int(os.environ.get("SPARK_GRAFT_BENCH_W", "128"))
 REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "64"))
+# documents-family second scale point: sf0.1's 5,000 docs sit at the
+# stage-overhead floor, so dedup timings carry no round-over-round signal
+# there — replicate the corpus REP_DOCS-fold (100k docs by default)
+REP_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_REP_DOCS", "20"))
 
 
 def _grid_and_polys():
@@ -133,6 +137,45 @@ def run_drill(spark, path: str, warmup: bool = True,
             "tiles_per_sec": round(n_tiles / dt, 2)}
 
 
+def run_drill_cogrouped(spark, path: str, repeat: int = 2) -> dict:
+    """Measure the Exchange-free huge-layer path (bucketed (gx, gy, tb)
+    layout + Pandas cogroup) on the same replicated input as the headline
+    drill.  The bucketed table is written once (the one-time layout cost a
+    grid-partitioned Iceberg table pays at ingest) and reused."""
+    from dea_conflux_spark import datagen
+    from dea_conflux_spark.operators import drill as drill_op
+    from dea_conflux_spark.operators.tilecells import tile_meta
+    from dea_conflux_spark.plugins import get_plugin
+
+    grid, polys = _grid_and_polys()
+    table = f"bench_tiles_cg_g{G}_t{T}_w{W}_rep{REP}"
+    if not spark.catalog.tableExists(table):
+        base = spark.read.parquet(path)
+        drill_op.write_tiles_bucketed(
+            _replicate(base, REP), table,
+            n_buckets=4 * spark.sparkContext.defaultParallelism)
+    tiles = spark.table(table)
+    meta = tile_meta(tiles.select("image_id"), grid)
+    polygons = datagen.polygons_df(spark, polys)
+    plugin = get_plugin("waterbodies_c3")
+    n_tiles = G * G * T * REP
+    # warm python workers + plan
+    from pyspark.sql import functions as F
+    small = tiles.filter(F.col("image_id").startswith("t0000"))
+    drill_op.drill_cogrouped(small, polygons, plugin, grid,
+                             partial=False).count()
+    dt = float("inf")
+    for _ in range(max(1, repeat)):
+        t0 = time.monotonic()
+        res = drill_op.drill_cogrouped(tiles, polygons, plugin, grid,
+                                       partial=True, meta=meta)
+        n_rows = res.count()
+        dt = min(dt, time.monotonic() - t0)
+    return {"drill_sec": round(dt, 3), "n_tiles": n_tiles,
+            "n_out_rows": n_rows,
+            "tiles_per_sec": round(n_tiles / dt, 2)}
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as em
 
@@ -154,6 +197,59 @@ def run_queries(spark, sf_dir: str) -> dict:
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def ensure_docs_scaled(spark, sf_dir: str, rep: int) -> str:
+    """Materialise (once) a rep-fold replica of the documents table under
+    .bench_data/ and return a directory usable as ``sf_dir`` for the
+    docs-family queries.
+
+    Each replica applies a per-replica character bijection
+    (``translate`` by an alphabet rotation) to the text: a bijection on
+    characters preserves every replica's internal shingle/minhash/simhash
+    pair structure (dedup output scales exactly linearly — rep x the
+    original pairs) while keeping replicas essentially disjoint in
+    shingle space, so the measured cost growth is the engine's scaling,
+    not a quadratic cross-replica pair blowup."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(BENCH_DIR, f"docs_x{rep}")
+    pq = os.path.join(out, "documents.parquet")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        d = docs.withColumn(
+            "rep_k", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        text = F.col("text")
+        for kk in range(1, rep):
+            rot = alpha[kk:] + alpha[:kk]
+            text = F.when(F.col("rep_k") == kk,
+                          F.translate(F.col("text"), alpha, rot)
+                          ).otherwise(text)
+        (d.select((F.col("doc_id") + F.col("rep_k") * 10_000_000)
+                  .alias("doc_id"),
+                  text.alias("text"), "lang", "source", "n_chars")
+         .repartition(max(8, 2 * spark.sparkContext.defaultParallelism))
+         .write.mode("overwrite").parquet(pq))
+    return out
+
+
+def run_docs_scaled(spark, sf_dir: str, rep: int) -> dict:
+    import __spark_entry__ as em
+
+    names = ["doc_token_counts", "docs_exact_dedup",
+             "docs_ngram_jaccard_pairs", "docs_minhash_rows",
+             "docs_simhash", "docs_minhash_lsh_pairs", "docs_simhash_pairs"]
+    docs_dir = ensure_docs_scaled(spark, sf_dir, rep)
+    spark.read.parquet(f"{docs_dir}/documents.parquet").count()  # warm
+    qs = em.queries()
+    out = {}
+    for name in names:
+        t0 = time.monotonic()
+        qs[name](spark, docs_dir).write.format("noop").mode(
+            "overwrite").save()
         out[name] = round(time.monotonic() - t0, 3)
     return out
 
@@ -211,6 +307,14 @@ def write_baseline_md(result: dict) -> None:
         f"| drill throughput @ local[{result['cpus']}] | "
         f"{result['tiles_per_sec']} tiles/sec |",
     ]
+    if result.get("cogrouped_drill"):
+        cg = result["cogrouped_drill"]
+        lines += [
+            f"| cogrouped (Exchange-free, bucketed layout) drill @ "
+            f"local[{result['cpus']}] | {cg['drill_sec']} s = "
+            f"{cg['tiles_per_sec']} tiles/sec (same input; measured "
+            "in-session, not part of the scaling batch) |",
+        ]
     if s.get(f"local{result['cpus']}"):
         lines.append(
             "| headline source | same batch as the scaling rows below "
@@ -259,6 +363,18 @@ def write_baseline_md(result: dict) -> None:
     ]
     for k, v in result.get("queries", {}).items():
         lines.append(f"| {k} | {v} |")
+    if result.get("queries_docs_scaled"):
+        rep = result.get("docs_scale_rep")
+        lines += [
+            "",
+            f"Documents-family second scale point ({rep}x replicated "
+            f"corpus = {5000 * rep:,} docs; per-replica character "
+            "bijection keeps dedup output linear in rep — see "
+            "bench.ensure_docs_scaled):",
+            "", "| query | sec |", "|---|---|",
+        ]
+        for k, v in result["queries_docs_scaled"].items():
+            lines.append(f"| {k} | {v} |")
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -284,6 +400,8 @@ def main():
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     queries = run_queries(spark, sf_dir)
+    docs_scaled = run_docs_scaled(spark, sf_dir, REP_DOCS)
+    cg = run_drill_cogrouped(spark, path, repeat=2)
     drill_in_session = None
     if args.no_scaling:
         drill_in_session = run_drill(spark, path, repeat=2)
@@ -330,6 +448,9 @@ def main():
         "drill_sec": drill["drill_sec"],
         "tiles_per_sec": drill["tiles_per_sec"],
         "queries": queries,
+        "queries_docs_scaled": docs_scaled,
+        "docs_scale_rep": REP_DOCS,
+        "cogrouped_drill": cg,
         "scaling": scaling,
     }
     write_baseline_md(result)

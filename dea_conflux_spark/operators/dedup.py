@@ -270,26 +270,38 @@ def embedding_neardup_pairs(embeddings: DataFrame,
 def connected_components(pairs: DataFrame, max_iter: int = 10,
                          strict: bool = True) -> DataFrame:
     """(node, component) — connected components of the near-dup pair graph
-    by iterative min-label propagation (a small-diameter iterative
-    algorithm: duplicate clusters are shallow, so a handful of join+min
-    rounds converge; each round is one shuffle).
+    by min-label propagation with pointer doubling.
 
-    Converges in O(diameter) rounds; if the loop exhausts ``max_iter``
-    while labels are still changing (a duplicate chain longer than
-    ``max_iter``), the labels are NOT a fixed point — with ``strict``
-    (default) that raises instead of silently returning split components;
-    pass ``strict=False`` to accept the partial labelling.
+    Each round is (1) one neighbour-min pass over the edges and (2)
+    ``ceil(log2(n_nodes))`` pointer-jump passes over the LABEL table
+    (``component <- label(component)`` — the path-halving step of
+    published log-round CC algorithms, e.g. large-star/small-star): the
+    label functional graph always points at smaller node ids, so each jump
+    doubles the compressed path length and a duplicate chain of any depth
+    collapses in one round instead of O(diameter) rounds.  Label-table
+    joins are much narrower than the edge join, so the extra passes cost
+    little; total shuffle rounds are O(log n) worst case.
+
+    If the loop exhausts ``max_iter`` while labels are still changing, the
+    labels are NOT a fixed point — with ``strict`` (default) that raises
+    instead of silently returning split components; pass ``strict=False``
+    to accept the partial labelling.
 
     Used to resolve transitive duplicate groups exactly where
     ``dedup_keep_canonical``'s clique assumption would over/under-drop.
     """
+    import math
+
     edges = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
              .union(pairs.select(F.col("id2").alias("a"),
                                  F.col("id1").alias("b"))))
     labels = (edges.select(F.col("a").alias("node"))
               .union(edges.select(F.col("b").alias("node")))
               .distinct()
-              .withColumn("component", F.col("node")))
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+    n_nodes = labels.count()
+    n_jumps = max(1, math.ceil(math.log2(max(2, n_nodes))))
     changed = 0
     for _ in range(max_iter):
         # candidate labels: own label plus the minimum neighbour label
@@ -301,6 +313,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
                               F.least("component",
                                       F.coalesce("nbr_min", "component"))
                               .alias("component")))
+        # pointer doubling: component <- label(component).  Labels only
+        # ever point at smaller ids, so l(l(x)) <= l(x) and each jump
+        # doubles the distance covered along the label chain — log2(n)
+        # jumps exhaust any chain the neighbour pass created.
+        for _j in range(n_jumps):
+            lk = new_labels.select(F.col("node").alias("_cn"),
+                                   F.col("component").alias("_cc"))
+            new_labels = (new_labels
+                          .join(lk, new_labels.component == lk._cn, "left")
+                          .select("node",
+                                  F.coalesce("_cc", "component")
+                                  .alias("component")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.component") != F.col("o.component"))

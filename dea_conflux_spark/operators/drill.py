@@ -47,7 +47,118 @@ _ID_RE = re.compile(r"^t(\d+)_x(\d+)_y(\d+)$")
 FLAG_COLS = ["conflux_n", "conflux_s", "conflux_e", "conflux_w"]
 
 
-def attach_rings(fc: DataFrame, polygons: DataFrame) -> DataFrame:
+def _make_driller(plugin: DrillSpec, g: GridSpec):
+    """Per-task drill state shared by both execution paths (the joined
+    stream ``mapInPandas`` and the cogrouped ``applyInPandas``): a
+    prepared-geometry cache, an owner-raster cache, and the per-tile drill
+    step.  Returns ``(drill_one, prep_cache)``.
+
+    * ``prep_cache`` — tiles of the same footprint reuse the Prepared edge
+      arrays instead of rebuilding them per tile.
+    * owner cache — the pixel->polygon assignment depends only on the
+      footprint geometry and candidate set, so every timestep of a grid
+      slot reuses it: rasterisation cost is O(distinct footprints), not
+      O(tiles).  Small cap; adjacency (partition-local sort / grouping)
+      makes repeats adjacent so a handful of entries achieves ~full reuse.
+    """
+    epoch = pd.Timestamp(EPOCH)
+    prep_cache: dict = {}
+    owner_cache: dict = {}
+
+    def owner_for(gx, gy, h, w, cands, x0, y0, tx1, ty1, xs, ys):
+        """-> (owner raster, per-slot scratch dict).  The scratch dict
+        shares the owner's cache lifetime; plugins memoize owner-derived
+        index structures in it (base.owner_index)."""
+        key = (gx, gy, h, w)
+        cached = owner_cache.get(key)
+        if cached is not None:
+            return cached
+        owner = np.full((h, w), -1, dtype=np.int32)
+        for ordinal, pid in cands:
+            prep = prep_cache[pid]
+            bx0, by0, bx1, by1 = prep.bbox
+            if bx1 <= x0 or bx0 >= tx1 or by1 <= y0 or by0 >= ty1:
+                continue
+            if (bx0 <= x0 and bx1 >= tx1 and by0 <= y0
+                    and by1 >= ty1
+                    and geom.rect_fully_inside(prep, x0, y0, tx1, ty1)):
+                owner[:, :] = ordinal  # interior fast path: no PIP
+                continue
+            j0 = int(np.searchsorted(xs, bx0))
+            j1 = int(np.searchsorted(xs, bx1))
+            i0 = int(np.searchsorted(ys, by0))
+            i1 = int(np.searchsorted(ys, by1))
+            if j0 >= j1 or i0 >= i1:
+                continue
+            sub = geom.contains_grid(prep, xs[j0:j1], ys[i0:i1])
+            view = owner[i0:i1, j0:j1]
+            view[sub] = ordinal
+        if len(owner_cache) >= 64:
+            owner_cache.clear()
+            # evict the prepared geometries with the owners: adjacency
+            # makes footprint repeats contiguous, so needed preps
+            # re-insert lazily on the next row while a long task no
+            # longer accumulates one Prepared per distinct polygon it
+            # ever saw
+            prep_cache.clear()
+        entry = (owner, {})
+        owner_cache[key] = entry
+        return entry
+
+    def drill_one(image_id, byts, h, w, fmt, cands, out):
+        """Drill one tile into the ``out`` dict-of-lists.  ``cands`` is
+        the ascending [(ordinal, poly_id)] candidate list whose Prepared
+        geometries are present in ``prep_cache``."""
+        m = _ID_RE.match(image_id)
+        if not m:
+            return
+        ts_idx, gx, gy = (int(m.group(1)), int(m.group(2)),
+                          int(m.group(3)))
+        raw = plugin.decode(byts, h, w, fmt)
+        x0, y0 = g.tile_origin(gx, gy)
+        tx1 = x0 + w * g.px_res
+        ty1 = y0 + h * g.px_res
+        xs = x0 + (np.arange(w) + 0.5) * g.px_res
+        ys = y0 + (np.arange(h) + 0.5) * g.px_res
+        owner, scratch = owner_for(gx, gy, h, w, cands, x0, y0,
+                                   tx1, ty1, xs, ys)
+        ts = epoch + pd.Timedelta(days=ts_idx)
+        ord2pid = dict(cands)
+        ords = [o for o, _ in cands]
+        grouped = plugin.partials_grouped_raw(raw, owner, ords,
+                                              scratch=scratch)
+        if grouped is None:
+            bands = plugin.transform(raw)
+            grouped = plugin.partials_grouped(bands, owner, ords,
+                                              scratch=scratch)
+        for ordinal, vals in grouped.items():
+            out["poly_id"].append(ord2pid[ordinal])
+            out["image_id"].append(image_id)
+            out["ts"].append(ts)
+            for (name, _), v in zip(plugin.partial_fields, vals):
+                out[name].append(v)
+
+    return drill_one, prep_cache
+
+
+def _empty_out(plugin: DrillSpec) -> dict:
+    out = {"poly_id": [], "image_id": [], "ts": []}
+    for name, _ in plugin.partial_fields:
+        out[name] = []
+    return out
+
+
+def _pin_ts(pdf: pd.DataFrame) -> pd.DataFrame:
+    if not len(pdf):
+        # all-empty frame (no tile had assigned pixels): pandas infers
+        # float64 for the empty ts column, which Arrow cannot cast to
+        # timestamp — pin the dtype explicitly
+        pdf["ts"] = pdf["ts"].astype("datetime64[ns]")
+    return pdf
+
+
+def attach_rings(fc: DataFrame, polygons: DataFrame,
+                 allow_broadcast_dim: bool = True) -> DataFrame:
     """(gx, gy, cand_polys array<struct<ordinal, poly_id, rings>>) —
     candidate lists with ring geometry attached through the candidate join.
 
@@ -62,6 +173,12 @@ def attach_rings(fc: DataFrame, polygons: DataFrame) -> DataFrame:
     rasterize-last-wins overwrite."""
     pairs = fc.select("gx", "gy", F.explode("cand_polys").alias("poly_id"))
     dim = polygons.select("poly_id", "ordinal", "rings")
+    if not allow_broadcast_dim:
+        # huge-layer contract (cogrouped path): polygon geometry must
+        # SHUFFLE on poly_id, never broadcast — Catalyst would happily
+        # auto-broadcast a layer whose estimated size sneaks under the
+        # threshold, which is exactly the ceiling this path removes
+        dim = dim.hint("shuffle_hash")
     return (pairs.join(dim, "poly_id")
             .groupBy("gx", "gy")
             .agg(F.sort_array(F.collect_list(
@@ -166,12 +283,22 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
       polygons that are a candidate of at least one footprint in this
       drill, so broadcast size tracks the queried region, not the layer.
     * ``"join"`` — rings travel inside the candidate join (attach_rings);
-      nothing is collected at the driver, so this is the scale path when
-      even the pruned dimension outgrows the broadcast budget.
+      nothing is collected at the driver.  NB with the default
+      ``broadcast_cands=True`` the ring-attached candidate table is still
+      BROADCAST — since rings are nested per footprint, that broadcast is
+      at least as large as the pruned dimension, so this mode trades
+      driver memory for executor broadcast memory without removing the
+      size ceiling.  When the candidate GEOMETRY itself outgrows the
+      broadcast budget, use :func:`drill_partials_cogrouped` over a
+      bucketed tile layout — Exchange-free on the tile side, geometry
+      shuffled (not broadcast) on the footprint key.
     * ``"auto"`` (default) — ``dim`` while the pruned candidate dimension
       is ≤ ~100k polygons (a narrow count on the dim table), else
       ``join`` — same size-gated strategy switch as broadcast_cover.
     """
+    if rings not in ("auto", "dim", "join"):
+        raise ValueError(f"rings must be 'auto', 'dim' or 'join', got "
+                         f"{rings!r}")
     spark = tiles.sparkSession
     sc = spark.sparkContext
 
@@ -194,6 +321,12 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
         fc = footprint_candidates_salted(meta_src, poly_cells, grid,
                                          base_res)
     rings_b = None
+    if rings in ("auto", "dim"):
+        # fc feeds up to three actions on these paths (dim count, dim
+        # collect, the tile join) — materialise it once instead of
+        # re-deriving the footprint-candidate join per action.  fc is the
+        # small footprint-grain table (id lists only, no geometry).
+        fc = fc.localCheckpoint(eager=True)
     if rings == "auto":
         # candidate-pruned dimension: only polygons that are a candidate
         # of at least one footprint in this drill
@@ -242,69 +375,11 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
     def run(batches):
         g: GridSpec = grid_b.value
         rmap = rings_b.value if rings_b is not None else None
-        epoch = pd.Timestamp(EPOCH)
-        # prepared-geometry cache: tiles of the same footprint that land
-        # in this task reuse the Prepared edge arrays instead of
-        # rebuilding them per tile (bounded by the task's candidate set)
-        prep_cache: dict = {}
-        # owner cache: the pixel->polygon assignment depends only on the
-        # footprint geometry and candidate set — every timestep of a grid
-        # slot reuses it, so rasterisation cost is O(distinct footprints),
-        # not O(tiles).  Small cap: the partition-local sort makes repeats
-        # adjacent, so a handful of entries achieves ~full reuse.
-        owner_cache: dict = {}
-
-        def owner_for(gx, gy, h, w, cands, x0, y0, tx1, ty1, xs, ys):
-            """-> (owner raster, per-slot scratch dict).  The scratch dict
-            shares the owner's cache lifetime; plugins memoize
-            owner-derived index structures in it (base.owner_index)."""
-            key = (gx, gy, h, w)
-            cached = owner_cache.get(key)
-            if cached is not None:
-                return cached
-            owner = np.full((h, w), -1, dtype=np.int32)
-            for ordinal, pid in cands:
-                prep = prep_cache[pid]
-                bx0, by0, bx1, by1 = prep.bbox
-                if bx1 <= x0 or bx0 >= tx1 or by1 <= y0 or by0 >= ty1:
-                    continue
-                if (bx0 <= x0 and bx1 >= tx1 and by0 <= y0
-                        and by1 >= ty1
-                        and geom.rect_fully_inside(prep, x0, y0, tx1, ty1)):
-                    owner[:, :] = ordinal  # interior fast path: no PIP
-                    continue
-                j0 = int(np.searchsorted(xs, bx0))
-                j1 = int(np.searchsorted(xs, bx1))
-                i0 = int(np.searchsorted(ys, by0))
-                i1 = int(np.searchsorted(ys, by1))
-                if j0 >= j1 or i0 >= i1:
-                    continue
-                sub = geom.contains_grid(prep, xs[j0:j1], ys[i0:i1])
-                view = owner[i0:i1, j0:j1]
-                view[sub] = ordinal
-            if len(owner_cache) >= 64:
-                owner_cache.clear()
-            entry = (owner, {})
-            owner_cache[key] = entry
-            return entry
+        drill_one, prep_cache = _make_driller(plugin, g)
 
         for pdf in batches:
-            out = {"poly_id": [], "image_id": [], "ts": []}
-            for name, _ in plugin.partial_fields:
-                out[name] = []
+            out = _empty_out(plugin)
             for row in pdf.itertuples():
-                m = _ID_RE.match(row.image_id)
-                if not m:
-                    continue
-                ts_idx, gx, gy = (int(m.group(1)), int(m.group(2)),
-                                  int(m.group(3)))
-                h, w = int(row.h), int(row.w)
-                raw = plugin.decode(row.bytes, h, w, row.fmt)
-                x0, y0 = g.tile_origin(gx, gy)
-                tx1 = x0 + w * g.px_res
-                ty1 = y0 + h * g.px_res
-                xs = x0 + (np.arange(w) + 0.5) * g.px_res
-                ys = y0 + (np.arange(h) + 0.5) * g.px_res
                 cands = []
                 if rmap is None:
                     # rings inside the candidate join payload (already in
@@ -323,30 +398,9 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                             prep_cache[pid] = geom.prepare(rings_v)
                         cands.append((ordinal, pid))
                     cands.sort()
-                owner, scratch = owner_for(gx, gy, h, w, cands, x0, y0,
-                                           tx1, ty1, xs, ys)
-                ts = epoch + pd.Timedelta(days=ts_idx)
-                ord2pid = dict(cands)
-                ords = [o for o, _ in cands]
-                grouped = plugin.partials_grouped_raw(
-                    raw, owner, ords, scratch=scratch)
-                if grouped is None:
-                    bands = plugin.transform(raw)
-                    grouped = plugin.partials_grouped(
-                        bands, owner, ords, scratch=scratch)
-                for ordinal, vals in grouped.items():
-                    out["poly_id"].append(ord2pid[ordinal])
-                    out["image_id"].append(row.image_id)
-                    out["ts"].append(ts)
-                    for (name, _), v in zip(plugin.partial_fields, vals):
-                        out[name].append(v)
-            pdf_out = pd.DataFrame(out)
-            if not len(pdf_out):
-                # all-empty batch (no tile had assigned pixels): pandas
-                # infers float64 for the empty ts column, which Arrow
-                # cannot cast to timestamp — pin the dtype explicitly
-                pdf_out["ts"] = pdf_out["ts"].astype("datetime64[ns]")
-            yield pdf_out
+                drill_one(row.image_id, row.bytes, int(row.h), int(row.w),
+                          row.fmt, cands, out)
+            yield _pin_ts(pd.DataFrame(out))
 
     return work.mapInPandas(run, schema=schema)
 
@@ -370,6 +424,151 @@ def drill(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
                               meta=meta)
     result = partials.groupBy("poly_id", "ts").agg(*plugin.final_aggs())
 
+    if partial:
+        meta_src = meta if meta is not None else tile_meta(tiles, grid)
+        flags = edge_flags_df(polygons, extents_by_ts(meta_src))
+        result = result.join(F.broadcast(flags), ["poly_id", "ts"], "left")
+        result = result.fillna(False, subset=FLAG_COLS)
+    return result
+
+
+def with_slot_keys(tiles: DataFrame, n_time_buckets: int = 1) -> DataFrame:
+    """Add the (gx, gy, tb) grid-slot/time-bucket key columns derived from
+    ``image_id`` — the physical co-location key of the cogrouped drill.
+    At ingest these are STORED columns of the bucketed tile layout (see
+    :func:`write_tiles_bucketed`); this helper is the derive-on-read
+    fallback for ad-hoc frames."""
+    ts = F.regexp_extract("image_id", r"^t(\d+)_", 1).cast("int")
+    return (tiles
+            .withColumn("gx", F.regexp_extract(
+                "image_id", r"_x(\d+)_", 1).cast("int"))
+            .withColumn("gy", F.regexp_extract(
+                "image_id", r"_y(\d+)$", 1).cast("int"))
+            .withColumn("tb", (ts % n_time_buckets).cast("int")))
+
+
+def write_tiles_bucketed(tiles: DataFrame, table: str, n_buckets: int = 64,
+                         n_time_buckets: int = 1) -> None:
+    """Persist the tile table hash-bucketed on (gx, gy, tb) — the one-time
+    layout that makes :func:`drill_cogrouped` Exchange-free on the tile
+    side (the batch analogue of a grid-partitioned Iceberg write: at
+    10^12-image scale the image table is laid out by grid slot anyway).
+
+    ``n_time_buckets`` splits each grid slot's time series across ``tb``
+    groups so a cogroup group (one pandas frame in the drill UDF) holds
+    1/n_time_buckets of a slot's timesteps — size the groups to executor
+    memory for deep time stacks."""
+    from .tables import write_bucketed
+
+    t = with_slot_keys(tiles, n_time_buckets)
+    write_bucketed(t, table, ["gx", "gy", "tb"], n_buckets)
+
+
+def drill_partials_cogrouped(tiles: DataFrame, polygons: DataFrame,
+                             plugin: DrillSpec, grid: GridSpec, *,
+                             base_res: int = BASE_RES,
+                             broadcast_cover: bool = True,
+                             n_time_buckets: int = 1,
+                             meta: DataFrame | None = None) -> DataFrame:
+    """Exchange-free huge-layer drill: per-(polygon, tile) partials via a
+    Pandas COGROUP on the (gx, gy, tb) grid-slot key instead of a
+    candidate join.
+
+    This is the scale path when even the candidate-pruned polygon
+    dimension outgrows the broadcast budget (>~100k candidate polygons —
+    the ceiling of both ``rings="dim"`` and ``rings="join"``, which
+    broadcast geometry one way or the other).  Shape of the plan:
+
+    * tiles come from a table bucketed on (gx, gy, tb)
+      (:func:`write_tiles_bucketed`): the scan's HashPartitioning already
+      satisfies the cogroup's clustering, so tile ``bytes`` move through
+      NEITHER a shuffle NOR a broadcast — only a partition-local sort.
+    * the ring-attached candidate table (one row per footprint,
+      :func:`attach_rings`) shuffles on the same key — geometry-only
+      rows, size tracks the queried footprints.
+    * ``applyInPandas`` receives each footprint's tiles and its candidate
+      row together, so ring geometry crosses the Arrow boundary ONCE per
+      (footprint, time-bucket) group instead of once per tile row (the
+      measured ~2.4x per-row nesting tax of the join payload) and never
+      rides a broadcast (the ``rings="join"`` + ``broadcast_cands`` size
+      ceiling).
+
+    Replaces the reference's ship-the-whole-shapefile-to-every-worker
+    pattern (reference __main__.py:902-906) with geometry movement that is
+    O(candidate footprint geometry), partitioned, and never resident on
+    the driver.  Output and semantics are bit-identical to
+    :func:`drill_partials` (golden-tested).
+
+    If ``tiles`` lacks the stored (gx, gy, tb) columns they are derived
+    from ``image_id`` — correct, but the cogroup then shuffles the tile
+    bytes once; use the bucketed layout at scale."""
+    spark = tiles.sparkSession
+    if "gx" not in tiles.columns or "tb" not in tiles.columns:
+        tiles = with_slot_keys(tiles, n_time_buckets)
+    poly_cells = polygon_cover_df(polygons, base_res=base_res)
+    meta_src = meta if meta is not None else tile_meta(tiles, grid)
+    if broadcast_cover:
+        fc = footprint_candidates(meta_src, poly_cells, grid, base_res,
+                                  broadcast_cover=True)
+    else:
+        fc = footprint_candidates_salted(meta_src, poly_cells, grid,
+                                         base_res)
+    fcr = attach_rings(fc, polygons, allow_broadcast_dim=False)
+    if n_time_buckets > 1:
+        # replicate the footprint's candidate row to every time bucket —
+        # bounded geometry duplication (x n_time_buckets), traded for
+        # bounded group memory
+        fcr = fcr.withColumn("tb", F.explode(F.sequence(
+            F.lit(0), F.lit(n_time_buckets - 1))))
+        fcr = fcr.withColumn("tb", F.col("tb").cast("int"))
+    else:
+        fcr = fcr.withColumn("tb", F.lit(0).cast("int"))
+    keys = ["gx", "gy", "tb"]
+    left = tiles.select(*keys, "image_id", "bytes", "w", "h", "fmt")
+
+    grid_b = spark.sparkContext.broadcast(grid)
+    schema = plugin.partial_schema
+    holder: dict = {}  # per-python-worker drill state across groups
+
+    def run_cg(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if "d" not in holder:
+            holder["d"] = _make_driller(plugin, grid_b.value)
+        drill_one, prep_cache = holder["d"]
+        out = _empty_out(plugin)
+        if len(lpdf) and len(rpdf):
+            # one candidate row per group: rings decoded from Arrow once
+            # per (footprint, time bucket), reused for every tile row
+            ring_map = {}
+            cands = []
+            for c in rpdf.iloc[0]["cand_polys"]:
+                ordinal, pid = int(c["ordinal"]), c["poly_id"]
+                ring_map[pid] = c["rings"]
+                cands.append((ordinal, pid))
+            for row in lpdf.itertuples():
+                for _, pid in cands:
+                    if pid not in prep_cache:
+                        prep_cache[pid] = geom.prepare(ring_map[pid])
+                drill_one(row.image_id, row.bytes, int(row.h), int(row.w),
+                          row.fmt, cands, out)
+        return _pin_ts(pd.DataFrame(out))
+
+    return (left.groupBy(*keys)
+            .cogroup(fcr.groupBy(*keys))
+            .applyInPandas(run_cg, schema=schema))
+
+
+def drill_cogrouped(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
+                    grid: GridSpec, *, partial: bool = True,
+                    base_res: int = BASE_RES, broadcast_cover: bool = True,
+                    n_time_buckets: int = 1,
+                    meta: DataFrame | None = None) -> DataFrame:
+    """:func:`drill` over the cogrouped Exchange-free partials path (see
+    :func:`drill_partials_cogrouped`) — same output contract."""
+    partials = drill_partials_cogrouped(
+        tiles, polygons, plugin, grid, base_res=base_res,
+        broadcast_cover=broadcast_cover, n_time_buckets=n_time_buckets,
+        meta=meta)
+    result = partials.groupBy("poly_id", "ts").agg(*plugin.final_aggs())
     if partial:
         meta_src = meta if meta is not None else tile_meta(tiles, grid)
         flags = edge_flags_df(polygons, extents_by_ts(meta_src))

@@ -28,9 +28,25 @@ def _cell_expr(res: int, x, y):
 
 
 def knn_nearest(queries: DataFrame, polygons: DataFrame, k: int = 1,
-                res: int = 9, ring: int = 1) -> DataFrame:
+                res: int = 9, ring: int = 1,
+                broadcast_index="auto",
+                broadcast_threshold: int = 1_000_000) -> DataFrame:
     """(qid, poly_id, dist, rank) — the k nearest polygon centroids for
-    each query point.  ``queries``: (qid string, qx double, qy double)."""
+    each query point.  ``queries``: (qid string, qx double, qy double).
+
+    ``broadcast_index`` selects the join strategy for the centroid index
+    (the same size-gated switch as the drill's ``broadcast_cover``):
+
+    * ``True`` — broadcast the (poly_id, cx, cy, cell) index; right for
+      layers up to ~10^6 centroids (tens of MB).
+    * ``False`` — the scale path: shuffle join on the (pix, piy) cell key,
+      and the exactness-fallback broadcasts the (small) unresolved query
+      set against the distributed layer instead of broadcasting the layer.
+    * ``"auto"`` (default) — ``True`` while the layer holds at most
+      ``broadcast_threshold`` centroids (one narrow count on the dim
+      table)."""
+    if broadcast_index == "auto":
+        broadcast_index = polygons.count() <= broadcast_threshold
     s = WORLD / (1 << res)
     pix, piy = _cell_expr(res, F.col("cx"), F.col("cy"))
     pidx = polygons.select(
@@ -47,7 +63,8 @@ def knn_nearest(queries: DataFrame, polygons: DataFrame, k: int = 1,
     )
     dist = F.sqrt(
         (F.col("qx") - F.col("cx")) ** 2 + (F.col("qy") - F.col("cy")) ** 2)
-    cand = (qcells.join(F.broadcast(pidx), ["pix", "piy"])
+    pidx_j = F.broadcast(pidx) if broadcast_index else pidx
+    cand = (qcells.join(pidx_j, ["pix", "piy"])
             .select("qid", "qx", "qy", "poly_id", dist.alias("dist")))
     w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("poly_id"))
     topk = (cand.withColumn("rank", F.row_number().over(w))
@@ -62,7 +79,16 @@ def knn_nearest(queries: DataFrame, polygons: DataFrame, k: int = 1,
         .select("qid")
     good = topk.join(F.broadcast(ok_ids), "qid", "left_semi")
     bad_q = queries.join(F.broadcast(ok_ids), "qid", "left_anti")
-    brute = (bad_q.crossJoin(F.broadcast(polygons.select("poly_id", "cx", "cy")))
+    if broadcast_index:
+        fallback = bad_q.crossJoin(
+            F.broadcast(polygons.select("poly_id", "cx", "cy")))
+    else:
+        # huge layer: broadcast the (rare, sparse-region) unresolved
+        # queries instead and scan the layer distributed — the layer-side
+        # broadcast ceiling is gone
+        fallback = (polygons.select("poly_id", "cx", "cy")
+                    .crossJoin(F.broadcast(bad_q)))
+    brute = (fallback
              .select("qid", "qx", "qy", "poly_id", dist.alias("dist"))
              .withColumn("rank", F.row_number().over(w))
              .filter(F.col("rank") <= k))

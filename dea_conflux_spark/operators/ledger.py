@@ -92,7 +92,11 @@ class Ledger:
         return self._df().select("image_id").distinct()
 
     def next_batch_id(self) -> int:
-        row = self._df().agg(F.max("batch").alias("m")).first()
+        df = self._df()
+        if "batch" not in df.columns:
+            # ledger written by a pre-batch schema version: resume as batch 0
+            return 0
+        row = df.agg(F.max("batch").alias("m")).first()
         return 0 if row["m"] is None else int(row["m"]) + 1
 
     def remaining(self, tiles: DataFrame) -> DataFrame:
@@ -134,7 +138,9 @@ def run_drill_resumable(tiles: DataFrame, polygons: DataFrame, plugin, grid,
     * crash after ``mark_done`` — the anti-join skips the batch entirely.
 
     Lineage/metrics rows are computed from THIS batch's partials only and
-    appended — O(batch), not O(total history) per increment.
+    written under a ``batch=<id>`` partition with dynamic overwrite —
+    O(batch) per increment, and a retried batch replaces (never
+    duplicates) its own lineage rows.
 
     Returns the number of tiles drilled this invocation.
     """
@@ -160,13 +166,22 @@ def run_drill_resumable(tiles: DataFrame, polygons: DataFrame, plugin, grid,
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     # per-batch lineage/metrics rows (north rule: lineage + metrics
     # tables) — computed from the just-committed batch partition only
-    # (partition-pruned read) and appended after the output commit
+    # (partition-pruned read).  Written with the SAME batch-keyed dynamic
+    # partition overwrite as the partials: a crash between this write and
+    # ``mark_done`` reuses the batch id on retry and REPLACES the batch's
+    # lineage partition instead of appending it twice (the retry-duplicate
+    # gap a plain append would leave).
     batch_parts = spark.read.parquet(out_dir).filter(
         F.col("batch") == batch_id)
-    (lineage_metrics(batch_parts)
-     .withColumn("run_plugin", F.lit(plugin.name))
-     .withColumn("batch", F.lit(batch_id).cast("int"))
-     .write.mode("append").parquet(out_dir + "_lineage"))
+    lineage = (lineage_metrics(batch_parts)
+               .withColumn("run_plugin", F.lit(plugin.name))
+               .withColumn("batch", F.lit(batch_id).cast("int")))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (lineage.write.mode("overwrite").partitionBy("batch")
+         .parquet(out_dir + "_lineage"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     led.mark_done(todo.select("image_id"), batch_id)
     return n
 

@@ -61,6 +61,11 @@ def build_ivf(embeddings: DataFrame, n_centroids: int = 16):
     cents = (e.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
              .orderBy("_h").limit(n_centroids)
              .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    # the centroid frame feeds two downstream consumers (vector assignment
+    # and query probing) — materialise the TakeOrdered sample once instead
+    # of re-running the global selection pass per consumer (it is a
+    # n_centroids-row table; the checkpoint is free)
+    cents = cents.localCheckpoint(eager=True)
     d = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     assign = (e.crossJoin(F.broadcast(cents))

@@ -173,11 +173,12 @@ def jdbc_write_observations(df: DataFrame, url: str,
     ``stack_waterbodies_db`` + db.py:87-96 engine wiring): one distributed
     ``write.jdbc`` instead of per-row SQLAlchemy sessions.
 
-    NOTE: this sandbox ships no JDBC driver jars, so the call fails with
-    ClassNotFound here — the function is the documented integration
-    point (schema contract = :func:`observations_fact`), exercised by a
-    gated test that asserts the failure mode is the missing driver, not
-    the pipeline."""
+    Exercised end-to-end in tests against embedded Apache Derby
+    (``jdbc:derby:<path>;create=true`` with
+    ``org.apache.derby.jdbc.EmbeddedDriver`` — Spark bundles the Derby
+    jars for its Hive metastore, so the write path moves real rows with
+    no extra dependencies); production deployments point the same call at
+    PostgreSQL (the reference's target) by swapping url + driver."""
     df.write.jdbc(url=url, table=table, mode=mode,
                   properties=properties or {})
 

@@ -14,6 +14,8 @@ co-located joins.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame
 
 
@@ -30,8 +32,17 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols) -> None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def write_bucketed(df: DataFrame, table: str, key: str,
+def write_bucketed(df: DataFrame, table: str, key,
                    n_buckets: int = 8) -> None:
-    """Persist ``df`` as a bucketed managed table on ``key``."""
-    (df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    """Persist ``df`` as a bucketed managed table on ``key`` (a column
+    name or list of column names).  Later equi-joins / cogroups on
+    exactly these keys read the table Exchange-free."""
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    # a previously dropped-but-not-vacuumed managed table leaves its
+    # location behind, which saveAsTable refuses to reuse — clear both
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    (df.write.mode("overwrite").bucketBy(n_buckets, *keys).sortBy(*keys)
      .format("parquet").saveAsTable(table))

@@ -355,7 +355,12 @@ def docs_simhash(spark, sf):
 
 
 def docs_simhash_pairs(spark, sf):
-    return dedup.simhash_pairs(_t(spark, sf, "documents"), max_hamming=12)
+    # max_hamming=6 is the scale-sane gate: 7 blocks of 8-9 bits give
+    # ~2^-8.6 collision probability per block per random pair, so the
+    # blocked join stays sparse at corpus scale (h=12 would make ~half of
+    # all random pairs candidates — kept to a small-corpus pytest of the
+    # pigeonhole property only).
+    return dedup.simhash_pairs(_t(spark, sf, "documents"), max_hamming=6)
 
 
 def embedding_neardup(spark, sf):

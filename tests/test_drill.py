@@ -117,12 +117,40 @@ def test_outside_polygon_absent(c3_result, polys):
     assert out_pid not in set(c3_result["poly_id"])
 
 
+def _fmt_plan(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _assert_no_bytes_exchange_no_rings_broadcast(plan):
+    """The scale-plan contract: tile bytes never ride an Exchange, and
+    polygon geometry (rings / ring-attached candidate lists) never rides
+    a BROADCAST exchange (shuffling geometry on the footprint key is the
+    intended movement)."""
+    import re
+
+    blocks = [b for b in plan.split("\n\n") if b.strip().startswith("(")]
+    assert blocks, "formatted plan did not parse into node blocks"
+    for b in blocks:
+        head = b.strip().splitlines()[0]
+        if re.match(r"\(\d+\) BroadcastExchange", head):
+            assert "rings#" not in b and "cand_polys#" not in b, head + b
+        elif re.match(r"\(\d+\) Exchange", head):
+            assert "bytes#" not in b, head + b
+
+
 def test_drill_100k_polygons_no_driver_collect(spark):
     """Scale path: the drill must handle a 100k-polygon layer with rings
     delivered through the candidate join (``rings="join"``) — no
     driver-side collect() or whole-layer broadcast (the round-1 scale
     ceiling).  Driver memory is bounded by the footprint-candidate table,
-    not the polygon count."""
+    not the polygon count.  The cogrouped huge-layer path must produce
+    the same result from a plan with NO rings broadcast at all."""
     from dea_conflux_spark import datagen as dg
 
     assert not hasattr(drill_op, "_prepared_polys")  # the collect path is gone
@@ -133,10 +161,63 @@ def test_drill_100k_polygons_no_driver_collect(spark):
     polygons = dg.polygons_df(spark, big_polys)
     res = drill_op.drill(tiles, polygons, get_plugin("sum_wet"), big_grid,
                          partial=False, rings="join")
-    n = res.count()
+    got_join = (res.toPandas().sort_values(["poly_id", "ts"])
+                .reset_index(drop=True))
+    n = len(got_join)
     # last-wins rasterisation over a dense overlapping layer: thousands of
     # polygons own pixels, bounded by the total pixel budget
     assert 0 < n <= big_grid.G ** 2 * 32 * 32
+
+    # huge-layer plan shape (VERDICT r2 #1): the cogrouped path over a
+    # bucketed tile layout broadcasts NO geometry and shuffles NO bytes —
+    # and returns the identical drill result
+    spark.sql("DROP TABLE IF EXISTS tiles_100k_bucketed")
+    drill_op.write_tiles_bucketed(tiles, "tiles_100k_bucketed", n_buckets=8)
+    bt = spark.table("tiles_100k_bucketed")
+    cg = drill_op.drill_cogrouped(bt, polygons, get_plugin("sum_wet"),
+                                  big_grid, partial=False)
+    _assert_no_bytes_exchange_no_rings_broadcast(_fmt_plan(cg))
+    got_cg = (cg.toPandas().sort_values(["poly_id", "ts"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_cg, got_join)
+
+
+def test_drill_cogrouped_matches_dim_modes(spark, tiles, polygons, grid):
+    """The cogrouped execution path (derived keys, with and without time
+    bucketing) is bit-identical to the pruned-dimension path."""
+    plugin = get_plugin("waterbodies_c3")
+    base = (drill_op.drill(tiles, polygons, plugin, grid, rings="dim")
+            .toPandas().sort_values(["poly_id", "ts"])
+            .reset_index(drop=True))
+    for ntb in (1, 2):
+        got = (drill_op.drill_cogrouped(tiles, polygons, plugin, grid,
+                                        n_time_buckets=ntb)
+               .toPandas().sort_values(["poly_id", "ts"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, base)
+
+
+def test_drill_cogrouped_bucketed_tiles_exchange_free(spark, tiles,
+                                                      polygons, grid):
+    """Over the bucketed (gx, gy, tb) tile layout the cogroup's tile side
+    needs no Exchange at all: the only shuffles in the partials plan are
+    geometry/metadata (footprint-candidate build + the candidate row
+    stream), asserted by scanning every Exchange block for the bytes
+    column; the partials themselves equal the default path's."""
+    plugin = get_plugin("waterbodies_c3")
+    spark.sql("DROP TABLE IF EXISTS tiles_cg_bucketed")
+    drill_op.write_tiles_bucketed(tiles, "tiles_cg_bucketed", n_buckets=4)
+    bt = spark.table("tiles_cg_bucketed")
+    parts = drill_op.drill_partials_cogrouped(bt, polygons, plugin, grid)
+    plan = _fmt_plan(parts)
+    assert "FlatMapCoGroupsInPandas" in plan
+    _assert_no_bytes_exchange_no_rings_broadcast(plan)
+    got = (parts.toPandas()
+           .sort_values(["poly_id", "image_id"]).reset_index(drop=True))
+    exp = (drill_op.drill_partials(tiles, polygons, plugin, grid)
+           .toPandas()
+           .sort_values(["poly_id", "image_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
 
 
 def test_rings_join_and_dim_modes_identical(spark, tiles, polygons, grid):

@@ -163,3 +163,46 @@ def test_lineage_appends_incrementally(spark, tiles, polygons, grid,
     # batch-1 lineage covers only batch-1 tiles
     b1_tiles = set(lin2[lin2["batch"] == 1]["image_id"])
     assert b1_tiles.isdisjoint(set(lin1["image_id"]))
+
+
+def test_lineage_not_duplicated_on_crash_retry(spark, tiles, polygons, grid,
+                                               tmp_path, monkeypatch):
+    """ADVICE round-2: a crash BETWEEN the lineage write and mark_done must
+    not leave duplicate lineage rows — the retried batch dynamically
+    overwrites its own batch=<id> lineage partition."""
+    plugin = get_plugin("waterbodies_c3")
+    out = str(tmp_path / "partials")
+    led = str(tmp_path / "ledger")
+
+    real_mark_done = ledger.Ledger.mark_done
+    calls = {"n": 0}
+
+    def dying_mark_done(self, image_ids, batch=0):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # lineage for the batch is already on disk at this point
+            raise RuntimeError("simulated crash after lineage write")
+        return real_mark_done(self, image_ids, batch)
+
+    monkeypatch.setattr(ledger.Ledger, "mark_done", dying_mark_done)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ledger.run_drill_resumable(tiles, polygons, plugin, grid, out, led)
+    lin_crash = spark.read.parquet(out + "_lineage").toPandas()
+    assert len(lin_crash) > 0  # the crash happened AFTER the lineage write
+    ledger.run_drill_resumable(tiles, polygons, plugin, grid, out, led)
+    lin = spark.read.parquet(out + "_lineage").toPandas()
+    # retry replaced (not appended) batch 0's lineage: one row per tile
+    assert set(lin["batch"]) == {0}
+    assert lin["image_id"].is_unique
+    assert len(lin) == len(lin_crash)
+
+
+def test_next_batch_id_pre_batch_schema(spark, tmp_path):
+    """ADVICE round-2: a ledger written by the old image_id-only schema
+    must resume as batch 0 instead of raising on the missing column."""
+    path = str(tmp_path / "old_ledger")
+    spark.createDataFrame([("t0000_x000_y000",)], "image_id string") \
+        .write.parquet(path)
+    led = ledger.Ledger(spark, path)
+    assert led.next_batch_id() == 0
+    assert led.completed().count() == 1

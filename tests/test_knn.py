@@ -2,11 +2,15 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from dea_conflux_spark.operators import knn
 
 
-def test_knn_matches_bruteforce(spark, polygons, polys, grid):
+@pytest.mark.parametrize("broadcast_index", [True, False],
+                         ids=["broadcast", "shuffle"])
+def test_knn_matches_bruteforce(spark, polygons, polys, grid,
+                                broadcast_index):
     rng = np.random.default_rng(7)
     x0, y0, x1, y1 = grid.extent
     # queries both inside and well outside the polygon field
@@ -16,7 +20,8 @@ def test_knn_matches_bruteforce(spark, polygons, polys, grid):
                          "qx": qx, "qy": qy})
     queries = spark.createDataFrame(qpdf, "qid string, qx double, qy double")
 
-    got = knn.knn_nearest(queries, polygons, k=3, res=9, ring=1).toPandas()
+    got = knn.knn_nearest(queries, polygons, k=3, res=9, ring=1,
+                          broadcast_index=broadcast_index).toPandas()
     got = got.sort_values(["qid", "rank"]).reset_index(drop=True)
 
     # brute force oracle

@@ -349,18 +349,30 @@ def test_minhash_lsh_verifies_candidates_only(spark, docs):
     assert got_set <= full_set  # LSH output is a subset of true pairs
 
 
-def test_connected_components_raises_on_nonconvergence(spark):
+def test_connected_components_chain_converges_log_rounds(spark):
+    """Pointer doubling: a 10-node chain (diameter 9) collapses within
+    max_iter=2 — the configuration that non-converged under plain
+    O(diameter) min-propagation in round 2."""
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "id1 long, id2 long")
+    out = dedup.connected_components(chain, max_iter=2).toPandas()
+    assert len(out) == 10 and set(out["component"]) == {0}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Strict mode still raises when labels are not a fixed point: this
+    graph needs a SECOND neighbour pass (node 2's only neighbour gets its
+    final label in round 1), so max_iter=1 cannot converge."""
+    g = spark.createDataFrame([(2, 3), (1, 3)], "id1 long, id2 long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_iter=2)
+        dedup.connected_components(g, max_iter=1)
     # non-strict mode returns the partial labelling with a warning
     import warnings
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = dedup.connected_components(chain, max_iter=2,
+        out = dedup.connected_components(g, max_iter=1,
                                          strict=False).toPandas()
-    assert len(out) == 10 and any("converge" in str(x.message) for x in w)
+    assert len(out) == 3 and any("converge" in str(x.message) for x in w)
 
 
 def test_ensure_spread_spreads_and_noops(spark):

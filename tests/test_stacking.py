@@ -188,9 +188,8 @@ def test_db_to_csv_sharded(spark, tmp_path):
 
 
 def test_jdbc_sink_fails_on_missing_driver_only(spark, tmp_path):
-    """The JDBC leg is unexercisable in this sandbox (no driver jars);
-    assert the integration point fails on the DRIVER, not on the
-    pipeline/schema — the documented boundary."""
+    """A driver jar that is genuinely absent (postgres) must fail on the
+    DRIVER, not on the pipeline/schema — the documented boundary."""
     obs = stacking.observations_fact(spark.createDataFrame(
         [("p1", 1.0, 0.1, 0.0, dt.datetime(2021, 1, 1))],
         "poly_id string, px_wet double, pc_wet double, pc_missing double, "
@@ -199,3 +198,25 @@ def test_jdbc_sink_fails_on_missing_driver_only(spark, tmp_path):
         stacking.jdbc_write_observations(
             obs, "jdbc:postgresql://localhost:5432/waterbodies",
             properties={"driver": "org.postgresql.Driver"})
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """A14 end-to-end: the observations fact table moves through REAL JDBC
+    (embedded Apache Derby, bundled with Spark) and reads back
+    row-identical (reference stack.py:509-592 stack_waterbodies_db)."""
+    rows = [("p1", 1.0, 0.1, 0.0, dt.datetime(2021, 1, 1)),
+            ("p2", 7.0, 0.7, 0.05, dt.datetime(2021, 1, 2)),
+            ("p3", 0.0, 0.0, 1.0, dt.datetime(2021, 1, 3))]
+    obs = stacking.observations_fact(spark.createDataFrame(
+        rows,
+        "poly_id string, px_wet double, pc_wet double, pc_missing double, "
+        "ts timestamp"))
+    url = f"jdbc:derby:{tmp_path}/obsdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    stacking.jdbc_write_observations(obs, url, table="waterbody_obs",
+                                     mode="overwrite", properties=props)
+    back = spark.read.jdbc(url=url, table="waterbody_obs", properties=props)
+    got = back.toPandas().sort_values("poly_id").reset_index(drop=True)
+    exp = obs.toPandas().sort_values("poly_id").reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

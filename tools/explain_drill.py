@@ -43,11 +43,31 @@ def main():
     join_plan = fmt(drill_op.drill(tiles, polygons,
                                    get_plugin("waterbodies_c3"),
                                    grid, partial=True, rings="join"))
+    drill_op.write_tiles_bucketed(tiles, "plans_tiles_bucketed",
+                                  n_buckets=4)
+    cg_plan = fmt(drill_op.drill_partials_cogrouped(
+        spark.table("plans_tiles_bucketed"), polygons,
+        get_plugin("waterbodies_c3"), grid))
 
     checks = []
 
     def check(name, ok):
         checks.append((name, bool(ok)))
+
+    def node_blocks(p):
+        return [b for b in p.split("\n\n") if b.strip().startswith("(")]
+
+    def clean_exchanges(p):
+        """No Exchange block carries tile bytes; no BroadcastExchange
+        block carries ring geometry."""
+        ok = True
+        for b in node_blocks(p):
+            head = b.strip().splitlines()[0]
+            if re.match(r"\(\d+\) BroadcastExchange", head):
+                ok = ok and "rings#" not in b and "cand_polys#" not in b
+            elif re.match(r"\(\d+\) Exchange", head):
+                ok = ok and "bytes#" not in b
+        return ok
 
     check("final agg is hash aggregate on (poly_id, ts)",
           re.search(r"Keys \[2\]: \[poly_id#\d+, ts#\d+\]", plan))
@@ -70,6 +90,66 @@ def main():
           "collect/broadcast of the layer)",
           re.search(r"collect_list\(struct\(ordinal", join_plan))
 
+    check("cogrouped huge-layer plan: Pandas cogroup stage present "
+          "(FlatMapCoGroupsInPandas)", "FlatMapCoGroupsInPandas" in cg_plan)
+    check("cogrouped huge-layer plan: NO BroadcastExchange carries rings "
+          "or candidate lists, NO Exchange carries tile bytes (bucketed "
+          "(gx, gy, tb) layout feeds the cogroup Exchange-free)",
+          clean_exchanges(cg_plan))
+
+    # ---- measured candidate-payload sizes at 100k polygons (the data
+    # behind the rings-mode auto-switch thresholds): bytes that would ride
+    # the pruned-dimension broadcast vs the ring-attached candidate join
+    # (per-footprint nesting) vs the id-only join payload
+    from pyspark.sql import functions as F
+
+    big_grid = datagen.GridSpec(G=8, T=1, w=32, h=32)
+    big_polys = datagen.make_polygons(big_grid, n_small=100_000,
+                                      n_medium=0, n_huge=0)
+    big_tiles = datagen.tiles_df(spark, big_grid, big_polys)
+    big_pg = datagen.polygons_df(spark, big_polys)
+    from dea_conflux_spark.config import BASE_RES
+    from dea_conflux_spark.operators.cover import polygon_cover_df
+    from dea_conflux_spark.operators.tilecells import tile_meta
+
+    pc = polygon_cover_df(big_pg, base_res=BASE_RES)
+    fc = drill_op.footprint_candidates(
+        tile_meta(big_tiles, big_grid), pc, big_grid).localCheckpoint()
+    ring_bytes = F.expr(
+        "aggregate(transform(rings, r -> size(r) * 16L), 0L, (a,b) -> a+b)")
+    id_only = fc.select(F.sum(F.expr(
+        "aggregate(transform(cand_polys, x -> length(x) + 8L), 0L, "
+        "(a,b) -> a+b)")).alias("b")).first()["b"]
+    pairs = fc.select(F.explode("cand_polys").alias("poly_id"))
+    nested = (pairs.join(big_pg, "poly_id")
+              .select(F.sum(ring_bytes).alias("b")).first()["b"])
+    dim = (pairs.distinct().join(big_pg, "poly_id")
+           .select(F.sum(ring_bytes).alias("b")).first()["b"])
+    n_cand = pairs.distinct().count()
+    sizes = [
+        "", "## Measured candidate-payload sizes (100k-polygon layer, "
+        "8x8 grid)", "",
+        "Coordinate bytes that each strategy moves (vertices x 16 B; "
+        "Arrow/java overheads excluded, so ratios are what matter):", "",
+        "| payload | bytes |", "|---|---|",
+        f"| id-only per-footprint candidate lists (rings='dim' join "
+        f"payload) | {id_only:,} |",
+        f"| candidate-PRUNED ring dimension, each polygon once "
+        f"(rings='dim' broadcast; {n_cand:,} candidate polygons) "
+        f"| {dim:,} |",
+        f"| rings nested per footprint (rings='join' broadcast payload / "
+        f"cogroup shuffle payload) | {nested:,} |", "",
+        f"Nesting duplicates geometry {nested / max(dim, 1):.2f}x vs the "
+        "pruned dimension here (grows with footprint overlap), which is "
+        "why rings='join' + broadcast_cands was NOT a scale escape hatch "
+        "— the cogrouped path moves the same nested payload but through "
+        "a hash SHUFFLE (per-reducer slices) instead of a broadcast "
+        "(every executor holds all of it), and tile bytes stay put in "
+        "the bucketed layout.  The 100k-polygon auto-switch gate for "
+        "rings='dim' therefore bounds the broadcast at "
+        f"~{dim / 1e6:.0f} MB of coordinates at this density.",
+    ]
+
     # ---- LSH verification plan: candidates-only, no full shingle
     # self-join (the single-key join on the shingle value must be absent;
     # candidate verification joins are keyed on doc ids / (id, shingle))
@@ -85,8 +165,11 @@ def main():
            "changes).  Assertions verified on this plan:", ""]
     for name, ok in checks:
         out.append(f"- [{'x' if ok else ' '}] {name}")
-    out += ["", f"Hash-partition shuffles in plan: {n_shuffles}",
-            "", "```", plan.strip(), "```", ""]
+    out += ["", f"Hash-partition shuffles in plan: {n_shuffles}"]
+    out += sizes
+    out += ["", "```", plan.strip(), "```", "",
+            "## Cogrouped huge-layer partials plan", "",
+            "```", cg_plan.strip(), "```", ""]
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("\n".join(f"{'PASS' if ok else 'FAIL'} {n}" for n, ok in checks))
