@@ -77,8 +77,12 @@ def knn_nearest(queries: DataFrame, polygons: DataFrame, k: int = 1,
         F.count("*").alias("n"), F.max("dist").alias("dmax"))
     ok_ids = counts.filter((F.col("n") >= k) & (F.col("dmax") <= guard)) \
         .select("qid")
-    good = topk.join(F.broadcast(ok_ids), "qid", "left_semi")
-    bad_q = queries.join(F.broadcast(ok_ids), "qid", "left_anti")
+    # the resolved-query id set scales with the query table: broadcast it
+    # only alongside a broadcastable layer; on the scale path let the
+    # planner shuffle the semi/anti joins on qid
+    ok_b = F.broadcast(ok_ids) if broadcast_index else ok_ids
+    good = topk.join(ok_b, "qid", "left_semi")
+    bad_q = queries.join(ok_b, "qid", "left_anti")
     if broadcast_index:
         fallback = bad_q.crossJoin(
             F.broadcast(polygons.select("poly_id", "cx", "cy")))
