@@ -128,6 +128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": Q.doc_quality_scores,
         "doc_lang_id": Q.doc_lang_id,
         "doc_fingerprints": Q.doc_fingerprints,
+        "doc_tfidf_top_terms": Q.doc_tfidf_top_terms,
+        "docs_top_bigrams": Q.docs_top_bigrams,
+        # deterministic sampling / splits
+        "docs_split_assign": Q.docs_split_assign,
+        "docs_stratified_sample": Q.docs_stratified_sample,
         # dedup family
         "docs_exact_dedup": Q.docs_exact_dedup,
         "docs_ngram_jaccard_pairs": Q.docs_ngram_jaccard_pairs,
@@ -137,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": Q.docs_simhash_pairs,
         "embedding_neardup": Q.embedding_neardup,
         # similarity search
+        "embedding_label_centroids": Q.embedding_label_centroids,
         "ann_brute_topk": Q.ann_brute_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
         # rows-only: approximate configuration, recall floor in tests
@@ -463,6 +469,60 @@ def oracle_sql() -> dict[str, str]:
                                 i -> array_to_string(toks[i:i+3], ' ')),
                  g -> {h_g})) AS min_gram_hash
         FROM t
+    """
+
+    h_key = _H60.format(x="CAST(doc_id AS VARCHAR)")
+    sql["doc_tfidf_top_terms"] = f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        sc AS (SELECT doc_id, term, tf, df,
+                      floor((tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0))
+                            * 10000 + 0.5) / 10000.0 AS tfidf
+               FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS rnk FROM sc)
+        WHERE rnk <= 3
+    """
+
+    sql["docs_top_bigrams"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT unnest(list_transform(
+                generate_series(1, greatest(len(toks) - 1, 1)),
+                i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+              FROM t)
+        SELECT bigram, COUNT(*) AS n FROM g
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """
+
+    sql["docs_split_assign"] = f"""
+        SELECT doc_id, CAST({h_key} % 100 AS INT) AS bucket,
+               CASE WHEN {h_key} % 100 < 90 THEN 'train'
+                    WHEN {h_key} % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+    sql["docs_stratified_sample"] = f"""
+        SELECT doc_id, lang, CAST(rk AS INT) AS rk
+        FROM (SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY {h_key} ASC, doc_id) AS rk
+              FROM documents)
+        WHERE rk <= 20
+    """
+
+    sql["embedding_label_centroids"] = """
+        WITH e AS (SELECT label,
+                          generate_subscripts(embedding, 1) - 1 AS pos,
+                          unnest(embedding::DOUBLE[]) AS val
+                   FROM embeddings)
+        SELECT label, CAST(pos AS INT) AS pos,
+               floor(avg(val) * 10000 + 0.5) / 10000.0 AS centroid,
+               COUNT(*) AS n_vecs
+        FROM e GROUP BY label, pos
     """
 
     sql["docs_exact_dedup"] = f"""

@@ -75,6 +75,25 @@ def build_ivf(embeddings: DataFrame, n_centroids: int = 16):
     return assign, cents
 
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """(label, pos, centroid, n_vecs) — per-label mean embedding, one row
+    per (label, dimension).
+
+    Class centroids are the workhorse of embedding-space pipelines
+    (cluster summaries, centroid-distance quality filters, IVF seeding
+    from labels).  ``posexplode`` turns the array column into (pos, val)
+    rows so the mean is ONE codegen'd hash aggregate with map-side
+    partials — no Python, no per-vector state; at 10^12 rows the shuffle
+    carries only (label, pos) partial sums (labels x dim rows per task).
+    """
+    e = embeddings.select(
+        "label", F.posexplode(_as_double(F.col("embedding")))
+        .alias("pos", "val"))
+    return (e.groupBy("label", "pos")
+            .agg(round4(F.avg("val")).alias("centroid"),
+                 F.count("*").alias("n_vecs")))
+
+
 def rp_lsh_neardup(embeddings: DataFrame, n_bits: int = 16,
                    tau: float = 0.9, seed: int = 42) -> DataFrame:
     """Embedding near-dup via sign-random-projection LSH (the scale path

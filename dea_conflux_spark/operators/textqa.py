@@ -9,7 +9,7 @@ SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
 
@@ -122,6 +122,49 @@ def lang_id(docs: DataFrame) -> DataFrame:
     sel += [counts[lang].alias(f"n_{lang}") for lang in sorted(LANG_MARKERS)]
     sel += [pred.alias("pred_lang")]
     return docs.select(*sel)
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf, rnk) — each document's ``k`` highest
+    TF-IDF terms (smoothed idf: ``ln((N+1)/(df+1)) + 1``, sklearn's
+    convention).
+
+    Plan shape at scale: one explode + two hash aggregates (term counts
+    per doc, then document frequency per term) and a join back on
+    ``term`` — the df table is vocabulary-sized, so Catalyst broadcasts
+    it while it fits and shuffle-joins beyond; the per-doc top-k is one
+    ranking window.  No Python anywhere.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) \
+        + F.lit(1.0)
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "term", "tf", "df",
+                      round4(F.col("tf") * idf).alias("tfidf")))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(bigram, n) — the ``k`` most frequent token bigrams across the
+    corpus (tie-break: bigram ascending).  Corpus-level n-gram statistics
+    drive contamination checks and boilerplate detection; the plan is an
+    explode + one hash aggregate + a TakeOrdered(k) — no full sort."""
+    toks = tokens_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)))
+    return (docs.select(F.explode(grams).alias("bigram"))
+            .groupBy("bigram").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("bigram"))
+            .limit(k))
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:

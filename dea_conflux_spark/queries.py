@@ -329,6 +329,32 @@ def doc_fingerprints(spark, sf):
     return textqa.fingerprints(_t(spark, sf, "documents"))
 
 
+def doc_tfidf_top_terms(spark, sf):
+    return textqa.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+def docs_top_bigrams(spark, sf):
+    return textqa.top_bigrams(_t(spark, sf, "documents"), k=20)
+
+
+def docs_split_assign(spark, sf):
+    from .operators import sampling
+
+    return sampling.split_assign(_t(spark, sf, "documents"),
+                                 key_col="doc_id", train_pct=90, val_pct=5)
+
+
+def docs_stratified_sample(spark, sf):
+    from .operators import sampling
+
+    return sampling.stratified_sample(_t(spark, sf, "documents"),
+                                      strata=["lang"], per_stratum=20)
+
+
+def embedding_label_centroids(spark, sf):
+    return similarity.label_centroids(_t(spark, sf, "embeddings"))
+
+
 def docs_exact_dedup(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 

@@ -386,3 +386,97 @@ def test_ensure_spread_spreads_and_noops(spark):
     assert spread.count() == 1000
     wide = spark.range(1000).repartition(par)
     assert ensure_spread(wide) is wide  # no extra exchange inserted
+
+
+# ------------------------------------------- tfidf / bigrams / sampling
+
+def test_tfidf_top_terms_vs_numpy(docs):
+    out = textqa.tfidf_top_terms(docs, k=3).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    import re as _re
+    import math
+
+    tok = {r.doc_id: [t for t in _re.sub(r"[^a-z0-9]+", " ",
+                                         r.text.lower()).strip().split()]
+           for r in pdf.itertuples()}
+    n_docs = len(tok)
+    df_ct: dict = {}
+    tf_all = {}
+    for d, ts in tok.items():
+        cnt: dict = {}
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+        tf_all[d] = cnt
+        for t in cnt:
+            df_ct[t] = df_ct.get(t, 0) + 1
+    for d, grp in out.groupby("doc_id"):
+        scores = {t: math.floor(
+            c * (math.log((n_docs + 1.0) / (df_ct[t] + 1.0)) + 1.0)
+            * 10000 + 0.5) / 10000.0 for t, c in tf_all[d].items()}
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = list(grp.sort_values("rnk")[["term", "tfidf"]]
+                   .itertuples(index=False, name=None))
+        assert got == want, f"doc {d}: {got} != {want}"
+        assert (grp["rnk"].sort_values().tolist() == [1, 2, 3])
+
+
+def test_top_bigrams_vs_python(docs):
+    out = textqa.top_bigrams(docs, k=20).toPandas()
+    import re as _re
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for r in docs.select("text").toPandas().itertuples():
+        ts = _re.sub(r"[^a-z0-9]+", " ", r.text.lower()).strip().split()
+        if len(ts) >= 2:
+            cnt.update(" ".join(p) for p in zip(ts, ts[1:]))
+        elif ts:
+            cnt.update([ts[0]])  # degenerate 1-token doc: unigram fallback
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = list(out[["bigram", "n"]].itertuples(index=False, name=None))
+    assert got == want
+
+
+def test_split_assign_deterministic_and_partition_invariant(docs):
+    from dea_conflux_spark.operators import sampling
+
+    a = sampling.split_assign(docs).toPandas().sort_values("doc_id")
+    b = (sampling.split_assign(docs.repartition(13)).toPandas()
+         .sort_values("doc_id"))
+    assert a.values.tolist() == b.values.tolist()
+    assert set(a["split"]) <= {"train", "val", "test"}
+    # buckets map to splits by the documented thresholds
+    assert ((a["bucket"] < 90) == (a["split"] == "train")).all()
+    assert (a["bucket"].between(90, 94) == (a["split"] == "val")).all()
+    # hash split is close to the requested proportions (500 docs, 60-bit
+    # hash: binomial 3-sigma around 450)
+    n_train = (a["split"] == "train").sum()
+    assert abs(n_train - 0.9 * len(a)) < 3 * np.sqrt(len(a) * 0.9 * 0.1) + 1
+
+
+def test_stratified_sample_fixed_size_and_stable(docs):
+    from dea_conflux_spark.operators import sampling
+
+    out = sampling.stratified_sample(docs, ["lang"], per_stratum=20)
+    pdf = out.toPandas()
+    sizes = pdf.groupby("lang")["doc_id"].count()
+    full = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, n in sizes.items():
+        assert n == min(20, int(full[lang]))
+    # order/partitioning must not change the sample
+    again = (sampling.stratified_sample(
+        docs.orderBy(F.rand(7)).repartition(9), ["lang"], per_stratum=20)
+        .toPandas())
+    key = lambda p: sorted(map(tuple, p[["doc_id", "lang", "rk"]].values))  # noqa: E731
+    assert key(pdf) == key(again)
+
+
+def test_label_centroids_vs_numpy(embeddings):
+    out = similarity.label_centroids(embeddings).toPandas()
+    pdf = embeddings.select("label", "embedding").toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.stack(grp["embedding"].values).astype(np.float64)
+        want = np.floor(mat.mean(axis=0) * 10000 + 0.5) / 10000.0
+        sub = out[out["label"] == label].sort_values("pos")
+        assert (sub["n_vecs"] == len(grp)).all()
+        np.testing.assert_allclose(sub["centroid"].values, want, atol=1e-9)
