@@ -185,7 +185,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "sessionize_events", "range_join_error_context",
         "doc_token_counts", "docs_exact_dedup", "docs_ngram_jaccard_pairs",
         "docs_minhash_rows", "docs_simhash", "ann_brute_topk",
-        "ann_ivf_topk",
+        "ann_ivf_topk", "doc_tfidf_top_terms", "embedding_label_centroids",
     ]
     qs = em.queries()
     # warm the session once (JVM/codegen spin-up + first parquet footer
@@ -241,7 +241,8 @@ def run_docs_scaled(spark, sf_dir: str, rep: int) -> dict:
 
     names = ["doc_token_counts", "docs_exact_dedup",
              "docs_ngram_jaccard_pairs", "docs_minhash_rows",
-             "docs_simhash", "docs_minhash_lsh_pairs", "docs_simhash_pairs"]
+             "docs_simhash", "docs_minhash_lsh_pairs", "docs_simhash_pairs",
+             "doc_tfidf_top_terms"]
     docs_dir = ensure_docs_scaled(spark, sf_dir, rep)
     spark.read.parquet(f"{docs_dir}/documents.parquet").count()  # warm
     qs = em.queries()

@@ -47,8 +47,12 @@ def stratified_sample(df: DataFrame, strata: list[str],
 
     Equivalent to a seeded reservoir sample but order- and
     partition-independent (the hash IS the random tape), so the sample is
-    reproducible across cluster sizes.  One ranking window partitioned by
-    the strata; skew follows stratum size, which AQE handles.
+    reproducible across cluster sizes.  With few strata a naive ranking
+    window would funnel every row of a stratum through one reducer; the
+    ``row_number() <= k`` shape lets Spark insert a PARTIAL
+    WindowGroupLimit below the exchange (plan-verified), so each map task
+    forwards at most ``per_stratum`` rows per stratum and the shuffle
+    carries O(k x tasks), not the corpus.
     """
     hk = md5i(F.col(key_col).cast("string"))
     w = W.partitionBy(*strata).orderBy(hk.asc(), F.col(key_col))
