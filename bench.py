@@ -137,11 +137,16 @@ def run_drill(spark, path: str, warmup: bool = True,
             "tiles_per_sec": round(n_tiles / dt, 2)}
 
 
-def run_drill_cogrouped(spark, path: str, repeat: int = 2) -> dict:
+def run_drill_cogrouped(spark, path: str, repeat: int = 2,
+                        broadcast_cover: bool = True) -> dict:
     """Measure the Exchange-free huge-layer path (bucketed (gx, gy, tb)
     layout + Pandas cogroup) on the same replicated input as the headline
     drill.  The bucketed table is written once (the one-time layout cost a
-    grid-partitioned Iceberg table pays at ingest) and reused."""
+    grid-partitioned Iceberg table pays at ingest) and reused.
+
+    ``broadcast_cover=False`` measures the fully broadcast-free
+    configuration — salted shuffle-hash cover join feeding the cogroup —
+    i.e. the plan a layer too large for ANY broadcast would run."""
     from dea_conflux_spark import datagen
     from dea_conflux_spark.operators import drill as drill_op
     from dea_conflux_spark.operators.tilecells import tile_meta
@@ -163,12 +168,14 @@ def run_drill_cogrouped(spark, path: str, repeat: int = 2) -> dict:
     from pyspark.sql import functions as F
     small = tiles.filter(F.col("image_id").startswith("t0000"))
     drill_op.drill_cogrouped(small, polygons, plugin, grid,
-                             partial=False).count()
+                             partial=False,
+                             broadcast_cover=broadcast_cover).count()
     dt = float("inf")
     for _ in range(max(1, repeat)):
         t0 = time.monotonic()
         res = drill_op.drill_cogrouped(tiles, polygons, plugin, grid,
-                                       partial=True, meta=meta)
+                                       partial=True, meta=meta,
+                                       broadcast_cover=broadcast_cover)
         n_rows = res.count()
         dt = min(dt, time.monotonic() - t0)
     return {"drill_sec": round(dt, 3), "n_tiles": n_tiles,
@@ -316,6 +323,14 @@ def write_baseline_md(result: dict) -> None:
             f"{cg['tiles_per_sec']} tiles/sec (same input; measured "
             "in-session, not part of the scaling batch) |",
         ]
+    if result.get("cogrouped_salted_drill"):
+        cs = result["cogrouped_salted_drill"]
+        lines += [
+            f"| fully broadcast-free drill (salted shuffle-hash cover "
+            f"join + cogroup — the no-broadcast-anywhere huge-layer "
+            f"plan) @ local[{result['cpus']}] | {cs['drill_sec']} s = "
+            f"{cs['tiles_per_sec']} tiles/sec |",
+        ]
     if s.get(f"local{result['cpus']}"):
         lines.append(
             "| headline source | same batch as the scaling rows below "
@@ -405,6 +420,8 @@ def main():
     queries = run_queries(spark, sf_dir)
     docs_scaled = run_docs_scaled(spark, sf_dir, REP_DOCS)
     cg = run_drill_cogrouped(spark, path, repeat=2)
+    cg_salted = run_drill_cogrouped(spark, path, repeat=2,
+                                    broadcast_cover=False)
     drill_in_session = None
     if args.no_scaling:
         drill_in_session = run_drill(spark, path, repeat=2)
@@ -454,6 +471,7 @@ def main():
         "queries_docs_scaled": docs_scaled,
         "docs_scale_rep": REP_DOCS,
         "cogrouped_drill": cg,
+        "cogrouped_salted_drill": cg_salted,
         "scaling": scaling,
     }
     write_baseline_md(result)

@@ -133,7 +133,13 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     per doc, then document frequency per term) and a join back on
     ``term`` — the df table is vocabulary-sized, so Catalyst broadcasts
     it while it fits and shuffle-joins beyond; the per-doc top-k is one
-    ranking window.  No Python anywhere.
+    ranking window (partial WindowGroupLimit below the exchange).  No
+    Python anywhere.  The corpus IS tokenised twice (the tf and df
+    branches re-derive the explode) — deliberate: the alternatives are
+    materialising the doc x term frame (corpus-scale storage) or a
+    count-over-window on ``term`` (hot terms like 'the' funnel into one
+    reducer).  Both aggregate branches combine map-side, so hot terms
+    never skew a reducer here.
     """
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))

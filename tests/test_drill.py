@@ -195,6 +195,14 @@ def test_drill_cogrouped_matches_dim_modes(spark, tiles, polygons, grid):
                .toPandas().sort_values(["poly_id", "ts"])
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(got, base)
+    # the fully broadcast-free configuration (salted shuffle-hash cover
+    # join feeding the cogroup — the plan a layer too large for ANY
+    # broadcast runs) is bit-identical too
+    got = (drill_op.drill_cogrouped(tiles, polygons, plugin, grid,
+                                    broadcast_cover=False)
+           .toPandas().sort_values(["poly_id", "ts"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, base)
 
 
 def test_drill_cogrouped_bucketed_tiles_exchange_free(spark, tiles,
