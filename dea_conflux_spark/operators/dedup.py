@@ -66,6 +66,25 @@ def _drop_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     return sh.join(hot, "shingle", "left_anti")
 
 
+def _once(df: DataFrame) -> DataFrame:
+    """Materialise ``df`` to executor block storage (lazy localCheckpoint)
+    so multiple consumers — self-join sides, size aggregates, candidate
+    probes — compute it ONCE instead of re-deriving the full lineage per
+    consumer.
+
+    Spark's exchange-reuse does not unify these consumers (each alias gets
+    its own exchange; measured: the jaccard plan ran the tokenise+shingle
+    stage 6-8x, the hot-shingle build side once per consumer).  The
+    checkpoint pays when the table is small relative to its lineage —
+    doc-grain aggregates (sizes, simhash values, band hashes) whose
+    recompute would re-run the regex/shingle pipeline.  Measured on the
+    100k-doc corpus: checkpointing the doc-grain simhash table cut
+    simhash_pairs ~25%, while checkpointing the corpus-grain shingle
+    table itself was a wash (the write costs what the recompute saves) —
+    so only doc-grain tables go through here."""
+    return df.localCheckpoint(eager=False)
+
+
 def _jaccard_of_sizes(sizes: DataFrame, shared: DataFrame) -> DataFrame:
     """(id1, id2, jaccard) from a shared-shingle count table and per-doc
     shingle sizes."""
@@ -97,7 +116,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     sh = _shingles(docs, n)
     if max_df is not None:
         sh = _drop_hot_shingles(sh, max_df)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = _once(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -151,6 +170,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
                 F.md5(F.concat_ws(
                     "_", F.col("band").cast("string"),
                     F.concat_ws(",", band_vals))).alias("bh")))
+    bands = _once(bands)  # both self-join sides
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
@@ -160,7 +180,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     sh = _shingles(docs, n)
     if max_df is not None:
         sh = _drop_hot_shingles(sh, max_df)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = _once(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
     # shared-shingle counts for candidate pairs only: expand each pair by
     # id1's shingles (join on id1), keep rows where id2 holds the same
     # shingle (join on (id2, shingle)) — both joins are keyed on candidate
@@ -221,7 +241,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     corpus scale keep the threshold tight (h <= 6 for 60-bit hashes) or
     pre-partition by a coarse key; the blocking stays recall-complete
     either way."""
-    sh = simhash(docs)
+    sh = _once(simhash(docs))  # doc-grain; both self-join sides
     blk = F.explode(F.array(*[
         F.struct(
             F.lit(q).alias("q"),
