@@ -32,6 +32,10 @@ def split_assign(df: DataFrame, key_col: str = "doc_id",
     identical on every rerun and at every parallelism — the property that
     makes held-out sets trustworthy when the corpus is re-ingested.
     """
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(
+            f"train_pct + val_pct must fit in [0, 100], got "
+            f"{train_pct} + {val_pct}")
     bucket = (md5i(F.col(key_col).cast("string")) % 100).cast("int")
     split = (F.when(F.col("bucket") < train_pct, "train")
              .when(F.col("bucket") < train_pct + val_pct, "val")

@@ -161,7 +161,12 @@ def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
     """(bigram, n) — the ``k`` most frequent token bigrams across the
     corpus (tie-break: bigram ascending).  Corpus-level n-gram statistics
     drive contamination checks and boilerplate detection; the plan is an
-    explode + one hash aggregate + a TakeOrdered(k) — no full sort."""
+    explode + one hash aggregate + a TakeOrdered(k) — no full sort.
+
+    Degenerate one-token documents contribute their single token (the
+    ``greatest(size-1, 1)`` window + null-skipping concat_ws — the same
+    short-document convention as ``fingerprints``, mirrored in the SQL
+    oracle's clamped list slice)."""
     toks = tokens_col(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),

@@ -480,3 +480,10 @@ def test_label_centroids_vs_numpy(embeddings):
         sub = out[out["label"] == label].sort_values("pos")
         assert (sub["n_vecs"] == len(grp)).all()
         np.testing.assert_allclose(sub["centroid"].values, want, atol=1e-9)
+
+
+def test_split_assign_validates_percentages(docs):
+    from dea_conflux_spark.operators import sampling
+
+    with pytest.raises(ValueError):
+        sampling.split_assign(docs, train_pct=90, val_pct=20)
