@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": Q.docs_stratified_sample,
         # dedup family
         "docs_exact_dedup": Q.docs_exact_dedup,
+        "docs_canonical_best_quality": Q.docs_canonical_best_quality,
         "docs_ngram_jaccard_pairs": Q.docs_ngram_jaccard_pairs,
         "docs_minhash_rows": Q.docs_minhash_rows,
         "docs_minhash_lsh_pairs": Q.docs_minhash_lsh_pairs,
@@ -529,6 +530,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id,
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1
+    """
+
+    sql["docs_canonical_best_quality"] = f"""
+        WITH t AS (
+          SELECT doc_id, text, md5({_NORM}) AS fp, {_TOKS} AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, fp,
+                 floor((len(list_filter(toks, x -> x IN {_STOP}))
+                        / len(toks)) * 10000 + 0.5) / 10000.0 AS stop_ratio,
+                 floor((len(regexp_extract_all(text, '[.,!?;:]'))
+                        / length(text)) * 10000 + 0.5) / 10000.0
+                   AS punct_ratio,
+                 CAST(len(toks) AS INT) AS n_tokens
+          FROM t),
+        q AS (
+          SELECT doc_id, fp,
+                 floor((least(1.0, n_tokens / 100.0) * 0.5
+                        + stop_ratio * 0.3
+                        + greatest(0.0, 0.2 - punct_ratio)) * 10000 + 0.5)
+                   / 10000.0 AS quality
+          FROM m),
+        r AS (
+          SELECT fp, doc_id, quality,
+                 ROW_NUMBER() OVER (PARTITION BY fp
+                     ORDER BY quality DESC, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY fp) AS n_docs
+          FROM q)
+        SELECT fp, doc_id AS keep_id, quality, n_docs
+        FROM r WHERE rk = 1
     """
 
     _SHINGLES = f"""

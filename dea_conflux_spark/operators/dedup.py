@@ -34,6 +34,32 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
             .filter(F.col("n_docs") >= 1))
 
 
+def canonical_best_quality(docs: DataFrame) -> DataFrame:
+    """(fp, keep_id, quality, n_docs) — one row per exact-duplicate
+    cluster, keeping the member with the highest quality score (ties:
+    lowest doc_id).
+
+    The realistic corpus keep-rule: content identity groups by the md5
+    fingerprint of normalised text, the survivor is chosen by the
+    engine's quality heuristic rather than arrival order.  Plan: the
+    fingerprint and quality expressions are row-local columns of ONE
+    corpus scan (``quality_scores(keep=...)`` — no doc_id self-join),
+    followed by a single hash shuffle on fp feeding the ranking window.
+    ``quality`` is 4-dp-rounded (cross-engine exact), making the
+    ranking deterministic."""
+    from .textqa import quality_scores
+
+    j = quality_scores(
+        docs.withColumn("fp", F.md5(norm_text(F.col("text")))),
+        keep=("fp",)).select("doc_id", "fp", "quality")
+    w = W.partitionBy("fp").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (j.withColumn("rk", F.row_number().over(w))
+            .withColumn("n_docs", F.count("*").over(W.partitionBy("fp")))
+            .filter(F.col("rk") == 1)
+            .select("fp", F.col("doc_id").alias("keep_id"), "quality",
+                    "n_docs"))
+
+
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct token n-grams.
 

@@ -75,10 +75,12 @@ def token_counts(docs: DataFrame) -> DataFrame:
         n_pieces.cast("long").alias("n_subword_pieces"))
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """Heuristic document quality: length, punctuation density, stopword
-    ratio, mean token length, and a blended 0-1 score."""
-    docs = docs.select("doc_id", "text",
+    ratio, mean token length, and a blended 0-1 score.  ``keep`` names
+    extra input columns to carry through (lets callers rank/join on
+    quality without a second corpus scan)."""
+    docs = docs.select("doc_id", "text", *keep,
                        tokens_col(F.col("text")).alias("toks"))
     toks = F.col("toks")
     n_tok = F.size(toks)
@@ -95,7 +97,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + stop_ratio * 0.3
         + F.greatest(F.lit(0.0), F.lit(0.2) - punct_ratio))
     return docs.select(
-        "doc_id", n_chars.alias("n_chars_m"), n_tok.alias("n_tokens"),
+        "doc_id", *keep, n_chars.alias("n_chars_m"), n_tok.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),
         mean_len.alias("mean_token_len"), score.alias("quality"))
 

@@ -359,6 +359,10 @@ def docs_exact_dedup(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
 
+def docs_canonical_best_quality(spark, sf):
+    return dedup.canonical_best_quality(_t(spark, sf, "documents"))
+
+
 def docs_ngram_jaccard_pairs(spark, sf):
     # max_df=64: hot-shingle document-frequency cutoff (mirrored in the
     # DuckDB oracle) — bounds the shingle self-join fan-out at scale.

@@ -487,3 +487,27 @@ def test_split_assign_validates_percentages(docs):
 
     with pytest.raises(ValueError):
         sampling.split_assign(docs, train_pct=90, val_pct=20)
+
+
+def test_canonical_best_quality_prefers_clean_duplicate(spark, docs):
+    # two raw variants normalise to the same fingerprint; the heavily
+    # punctuated one scores lower quality, so the clean one survives
+    # regardless of id order
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    noisy = base.replace(" ", "!!! ,, ")
+    extra = spark.createDataFrame(
+        [(9000001, base, "en", "srcX", len(base)),
+         (9000000, noisy, "en", "srcX", len(noisy))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = dedup.canonical_best_quality(docs.unionByName(extra)).toPandas()
+    clusters = out[out["n_docs"] >= 2]
+    planted = clusters[clusters["keep_id"].isin([9000000, 9000001])]
+    assert len(planted) == 1
+    assert planted.iloc[0]["keep_id"] == 9000001  # clean variant wins
+    assert planted.iloc[0]["n_docs"] == 2
+    # every input fingerprint appears exactly once
+    n_fp = (docs.unionByName(extra)
+            .selectExpr("md5(trim(regexp_replace(lower(text), "
+                        "'[^a-z0-9]+', ' '))) AS fp")
+            .distinct().count())
+    assert len(out) == n_fp
