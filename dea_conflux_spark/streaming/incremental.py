@@ -60,6 +60,67 @@ def nrt_drill_stream(spark, tiles_path: str, polygons, plugin,
     return writer.start()
 
 
+DOC_SCHEMA = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def dedup_docs_stream(spark, docs_path: str, out_dir: str, checkpoint: str,
+                      trigger_available_now: bool = True):
+    """Streaming corpus ingest with exact dedup: documents landing in
+    ``docs_path`` are fingerprinted (md5 of normalised text) and appended
+    to ``out_dir`` only if their content was never accepted before —
+    first arrival wins, the streaming analogue of ``dedup.exact_dedup``
+    for a corpus that grows continuously.
+
+    Semantics per micro-batch: (1) in-batch winners by (fp, min doc_id)
+    ranking window; (2) cross-batch novelty via LEFT ANTI join against
+    the accumulated output's fingerprints — the same anti-join-vs-ledger
+    shape as the drill's resume path (operators/ledger), so cost tracks
+    the batch, not the corpus rescan (the output read is an fp-column
+    scan, parquet-pruned).  Exactly-once: rows are keyed by epoch and
+    dynamically overwritten, and the novelty join EXCLUDES the current
+    epoch's own (possibly partially written) partition, so a retried
+    micro-batch neither duplicates nor suppresses itself."""
+    from pyspark.sql import Window as W
+
+    from ..operators.textqa import norm_text
+
+    stream = (spark.readStream.schema(DOC_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(docs_path))
+
+    def run_batch(batch_df, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        b = batch_df.withColumn("fp", F.md5(norm_text(F.col("text"))))
+        w = W.partitionBy("fp").orderBy("doc_id")
+        b = (b.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") == 1).drop("rk"))
+        try:
+            seen = (sess.read.parquet(out_dir)
+                    .filter(F.col("epoch") != int(epoch_id))
+                    .select("fp"))
+            b = b.join(seen, "fp", "left_anti")
+        except Exception:
+            pass  # first batch: no output yet
+        out = b.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
+                             "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (out.write.mode("overwrite").partitionBy("epoch")
+             .parquet(out_dir))
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = (stream.writeStream.foreachBatch(run_batch)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_tile_counts(spark, tiles_path: str):
     """Streaming windowed aggregation demo over the tile stream: tiles per
     day window keyed by timestep, with a watermark for late data — the

@@ -74,3 +74,46 @@ def test_nrt_epoch_retry_overwrites_not_appends(spark, tiles_path, polygons,
     final = finalize_drill(spark, out, plugin).toPandas()
     exp = oracle.oracle_drill(grid, polys, tiles_pdf, plugin, partial=False)
     assert len(final) == len(exp)
+
+
+def test_dedup_docs_stream_first_arrival_wins(spark, tmp_path):
+    """Two waves of documents land in the stream source; wave 2 repeats
+    half of wave 1's content under new doc_ids.  The accepted corpus
+    holds each fingerprint exactly once, keeping the FIRST-arrived
+    (min-id within a batch, earlier-epoch across batches); re-running
+    the drained stream with the same checkpoint is a no-op."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = incremental.DOC_SCHEMA
+
+    def wave(ids_texts, name):
+        pdf = pd.DataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in ids_texts],
+            columns=["doc_id", "text", "lang", "source", "n_chars"])
+        (spark.createDataFrame(pdf, schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    wave([(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+          (3, "alpha beta gamma")], "w1")  # 3 an in-batch dup of 1
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    wave([(10, "alpha beta gamma!!!"),  # normalises equal to doc 1
+          (11, "brand new content here")], "w2")
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(out)
+           .select("doc_id", "fp").toPandas().sort_values("doc_id"))
+    # fingerprints unique; doc 1 beat 3 (in-batch) and 10 (cross-batch)
+    assert got["fp"].is_unique
+    assert set(got["doc_id"]) == {1, 2, 11}
+    # drained re-run with same checkpoint: no change
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    again = spark.read.parquet(out).select("doc_id").toPandas()
+    assert sorted(again["doc_id"]) == [1, 2, 11]
