@@ -97,12 +97,14 @@ def dedup_docs_stream(spark, docs_path: str, out_dir: str, checkpoint: str,
         w = W.partitionBy("fp").orderBy("doc_id")
         b = (b.withColumn("rk", F.row_number().over(w))
              .filter(F.col("rk") == 1).drop("rk"))
+        from pyspark.errors import AnalysisException
+
         try:
             seen = (sess.read.parquet(out_dir)
                     .filter(F.col("epoch") != int(epoch_id))
                     .select("fp"))
             b = b.join(seen, "fp", "left_anti")
-        except Exception:
+        except AnalysisException:
             pass  # first batch: no output yet
         out = b.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
         prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
