@@ -534,7 +534,8 @@ def drill_partials_cogrouped(tiles: DataFrame, polygons: DataFrame,
     from ``image_id`` — correct, but the cogroup then shuffles the tile
     bytes once; use the bucketed layout at scale."""
     spark = tiles.sparkSession
-    if "gx" not in tiles.columns or "tb" not in tiles.columns:
+    derived_tb = "gx" not in tiles.columns or "tb" not in tiles.columns
+    if derived_tb:
         tiles = with_slot_keys(tiles, n_time_buckets)
     poly_cells = polygon_cover_df(polygons, base_res=base_res)
     meta_src = meta if meta is not None else tile_meta(tiles, grid)
@@ -545,15 +546,31 @@ def drill_partials_cogrouped(tiles: DataFrame, polygons: DataFrame,
         fc = footprint_candidates_salted(meta_src, poly_cells, grid,
                                          base_res)
     fcr = attach_rings(fc, polygons, allow_broadcast_dim=False)
-    if n_time_buckets > 1:
-        # replicate the footprint's candidate row to every time bucket —
-        # bounded geometry duplication (x n_time_buckets), traded for
-        # bounded group memory
-        fcr = fcr.withColumn("tb", F.explode(F.sequence(
-            F.lit(0), F.lit(n_time_buckets - 1))))
-        fcr = fcr.withColumn("tb", F.col("tb").cast("int"))
+    if derived_tb:
+        # we minted tb ourselves: values are exactly [0, n_time_buckets)
+        tb_vals = list(range(n_time_buckets))
     else:
-        fcr = fcr.withColumn("tb", F.lit(0).cast("int"))
+        # STORED layout: the tb range is a property of the table's write
+        # (write_tiles_bucketed(n_time_buckets=K)), not of this call's
+        # ``n_time_buckets`` argument.  Replicating candidates only to
+        # [0, n_time_buckets) would cogroup any tile with tb >= that
+        # bound against an EMPTY candidate side and silently drop its
+        # rows — so the replication range comes from the tb values
+        # actually present (one column-pruned distinct over the stored
+        # int column, negligible next to the drill itself).
+        tb_vals = sorted(int(r["tb"])
+                         for r in tiles.select("tb").distinct().collect())
+        if tb_vals and (tb_vals[0] < 0 or len(tb_vals) > 65536):
+            raise ValueError(
+                f"stored tb column looks corrupt: {len(tb_vals)} distinct "
+                f"values, min {tb_vals[0]}")
+        if not tb_vals:  # empty tile table: keep the plan analysable
+            tb_vals = [0]
+    # replicate the footprint's candidate row to every time bucket —
+    # bounded geometry duplication (x len(tb_vals)), traded for bounded
+    # group memory
+    fcr = fcr.withColumn("tb", F.explode(F.array(
+        *[F.lit(v).cast("int") for v in tb_vals])))
     keys = ["gx", "gy", "tb"]
     left = tiles.select(*keys, "image_id", "bytes", "w", "h", "fmt")
 

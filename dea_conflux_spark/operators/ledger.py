@@ -109,6 +109,50 @@ class Ledger:
          .write.mode("append").parquet(self.path))
 
 
+def migrate_legacy_lineage(spark, lineage_dir: str) -> int:
+    """Upgrade a lineage directory written by the pre-partitioned layout
+    (flat ``*.parquet`` files at the root with ``batch`` as a DATA column)
+    to the current ``batch=<id>/`` partitioned layout.
+
+    Spark's partition discovery on a MIXED layout (root data files next to
+    ``batch=N`` subdirectories) drops or conflicts on the batch column, so
+    a resumed run that spans the layout upgrade would break its lineage
+    reads.  Each legacy root file is re-written under its batch partition
+    (missing batch column -> batch 0) and then removed; already-partitioned
+    subdirectories are left untouched.  Idempotent; returns the number of
+    legacy files migrated."""
+    import shutil
+
+    if not os.path.isdir(lineage_dir):
+        return 0
+    flat = [os.path.join(lineage_dir, f) for f in os.listdir(lineage_dir)
+            if f.endswith(".parquet")
+            and os.path.isfile(os.path.join(lineage_dir, f))]
+    if not flat:
+        return 0
+    legacy = spark.read.parquet(*flat)
+    if "batch" not in legacy.columns:
+        legacy = legacy.withColumn("batch", F.lit(0).cast("int"))
+    tmp = lineage_dir.rstrip("/") + "__legacy_migration"
+    shutil.rmtree(tmp, ignore_errors=True)
+    legacy.write.mode("overwrite").partitionBy("batch").parquet(tmp)
+    for f in flat:
+        os.remove(f)
+    # move the migrated batch=<id> dirs in next to any post-upgrade ones
+    for name in os.listdir(tmp):
+        if name.startswith("batch="):
+            dst = os.path.join(lineage_dir, name)
+            if os.path.exists(dst):  # collision: merge files into dst
+                for part in os.listdir(os.path.join(tmp, name)):
+                    if part.endswith(".parquet"):
+                        os.rename(os.path.join(tmp, name, part),
+                                  os.path.join(dst, part))
+            else:
+                os.rename(os.path.join(tmp, name), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(flat)
+
+
 def lineage_metrics(partials: DataFrame) -> DataFrame:
     """Per-tile drill lineage from the partial rows: how many polygons and
     pixels each tile contributed (reference's per-scene found-polygon
@@ -176,6 +220,10 @@ def run_drill_resumable(tiles: DataFrame, polygons: DataFrame, plugin, grid,
     lineage = (lineage_metrics(batch_parts)
                .withColumn("run_plugin", F.lit(plugin.name))
                .withColumn("batch", F.lit(batch_id).cast("int")))
+    # back-compat: a lineage dir written by the old flat (append) layout
+    # must be re-partitioned before the first batch=keyed write lands next
+    # to it (same upgrade guard as next_batch_id's schema check)
+    migrate_legacy_lineage(spark, out_dir + "_lineage")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (lineage.write.mode("overwrite").partitionBy("batch")

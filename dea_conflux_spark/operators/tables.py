@@ -14,9 +14,13 @@ co-located joins.
 
 from __future__ import annotations
 
+import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols) -> None:
@@ -39,10 +43,30 @@ def write_bucketed(df: DataFrame, table: str, key,
     exactly these keys read the table Exchange-free."""
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
+    # plain unqualified identifiers only: the stale-location cleanup below
+    # resolves a filesystem path, so a qualified ('db.tbl') or path-like
+    # ('../x') name must never reach the string-built rmtree
+    if not _IDENT.match(table):
+        raise ValueError(
+            f"write_bucketed requires a plain unqualified table "
+            f"identifier, got {table!r}")
     # a previously dropped-but-not-vacuumed managed table leaves its
-    # location behind, which saveAsTable refuses to reuse — clear both
+    # location behind, which saveAsTable refuses to reuse — clear both.
+    # Resolve the actual location from the catalog when the table exists;
+    # otherwise fall back to the default-database layout under the local
+    # warehouse dir (non-local warehouses: nothing to vacuum locally).
+    loc = None
+    if spark.catalog.tableExists(table):
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if r["col_name"] == "Location":
+                loc = r["data_type"]
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    if loc is None:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = f"{wh}/{table}"
+    if loc.startswith("file:"):
+        loc = loc.removeprefix("file:")
+    if os.path.isabs(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     (df.write.mode("overwrite").bucketBy(n_buckets, *keys).sortBy(*keys)
      .format("parquet").saveAsTable(table))

@@ -228,6 +228,27 @@ def test_drill_cogrouped_bucketed_tiles_exchange_free(spark, tiles,
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_drill_cogrouped_stored_tb_layout_mismatch(spark, tiles, polygons,
+                                                   grid):
+    """A table written with write_tiles_bucketed(n_time_buckets=4) drilled
+    with the default n_time_buckets=1 must still produce every row: the
+    candidate replication range is derived from the STORED tb values, not
+    from the call argument (a mismatch used to cogroup tiles with tb >= 1
+    against an empty candidate side and silently drop them)."""
+    plugin = get_plugin("waterbodies_c3")
+    spark.sql("DROP TABLE IF EXISTS tiles_cg_tb4")
+    drill_op.write_tiles_bucketed(tiles, "tiles_cg_tb4", n_buckets=4,
+                                  n_time_buckets=4)
+    bt = spark.table("tiles_cg_tb4")
+    got = (drill_op.drill_cogrouped(bt, polygons, plugin, grid)  # ntb=1
+           .toPandas().sort_values(["poly_id", "ts"])
+           .reset_index(drop=True))
+    exp = (drill_op.drill(tiles, polygons, plugin, grid, rings="dim")
+           .toPandas().sort_values(["poly_id", "ts"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_rings_join_and_dim_modes_identical(spark, tiles, polygons, grid):
     """The two ring-delivery strategies (candidate-join payload vs pruned
     dimension broadcast) must produce bit-identical drill output."""

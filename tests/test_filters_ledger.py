@@ -1,5 +1,7 @@
 """Screening filters, validation/quarantine, and checkpoint-resume tests."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -206,3 +208,40 @@ def test_next_batch_id_pre_batch_schema(spark, tmp_path):
     led = ledger.Ledger(spark, path)
     assert led.next_batch_id() == 0
     assert led.completed().count() == 1
+
+
+def test_lineage_legacy_flat_layout_migrated(spark, tiles, polygons, grid,
+                                             tiles_pdf, tmp_path):
+    """ADVICE round-3: a lineage dir written by the old flat layout (root
+    parquet files, batch as a DATA column) is migrated to the batch=<id>
+    partitioned layout before the first partitioned write lands next to
+    it, so resumed runs that span the upgrade keep readable lineage."""
+    plugin = get_plugin("waterbodies_c3")
+    out = str(tmp_path / "partials")
+    led = str(tmp_path / "ledger")
+    ldir = out + "_lineage"
+    # fabricate the legacy layout: flat append with batch as data column
+    legacy = spark.createDataFrame(
+        [("t9999_x999_y999", 3, 42, "waterbodies_c3", 0)],
+        "image_id string, n_polys bigint, n_px_assigned bigint, "
+        "run_plugin string, batch int")
+    legacy.coalesce(1).write.mode("append").parquet(ldir)
+    assert any(f.endswith(".parquet") for f in os.listdir(ldir))
+    # the legacy run's ledger recorded its tile under batch 0, so the
+    # resumed run allocates batch 1 (state consistent with the upgrade)
+    ledger.Ledger(spark, led).mark_done(
+        spark.createDataFrame([("t9999_x999_y999",)], "image_id string"),
+        batch=0)
+
+    half_ids = sorted(tiles_pdf["image_id"])[: len(tiles_pdf) // 2]
+    half = tiles.filter(F.col("image_id").isin(half_ids))
+    ledger.run_drill_resumable(half, polygons, plugin, grid, out, led)
+    # no data files left at the root; discovery sees one clean layout
+    assert not any(f.endswith(".parquet") and
+                   os.path.isfile(os.path.join(ldir, f))
+                   for f in os.listdir(ldir))
+    lin = spark.read.parquet(ldir).toPandas()
+    assert "batch" in lin.columns
+    # the legacy row survived under batch=0 alongside the new batch rows
+    assert "t9999_x999_y999" in set(lin["image_id"])
+    assert len(lin[lin["image_id"] != "t9999_x999_y999"]) > 0

@@ -48,3 +48,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert "Exchange" not in plan, plan[:2000]
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_write_bucketed_rejects_unsafe_table_names(spark):
+    import pytest
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    for bad in ("db.tbl", "../x", "x y", "x;drop"):
+        with pytest.raises(ValueError, match="identifier"):
+            tables.write_bucketed(df, bad, "k", 2)
+
+
+def test_write_bucketed_vacuums_catalog_resolved_location(spark):
+    """Rewriting an existing bucketed table resolves the stale location
+    from the catalog (not a string-built warehouse path) and succeeds."""
+    df1 = spark.range(10).select((F.col("id") % 3).alias("k"))
+    tables.write_bucketed(df1, "tbl_rewrite_loc", "k", 2)
+    df2 = spark.range(4).select((F.col("id") % 2).alias("k"))
+    tables.write_bucketed(df2, "tbl_rewrite_loc", "k", 2)
+    assert spark.table("tbl_rewrite_loc").count() == 4
