@@ -95,6 +95,12 @@ def _knn_points(spark, sf_dir):
     return knn_op.knn_nearest(qdf, polygons, k=2, res=9, ring=1)
 
 
+def _mini_drill(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_drill(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # aggregations / scans
@@ -148,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": Q.ann_ivf_topk,
         # rows-only: approximate configuration, recall floor in tests
         "ann_ivf_partial_probe": Q.ann_ivf_partial_probe,
+        # geospatial: the flagship semantics with an EXACT second-engine
+        # check — convex polygons drill as half-plane SQL (minidrill.py)
+        "mini_drill": _mini_drill,
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
         "flagship_drill": _flagship_drill,
@@ -675,6 +684,8 @@ def oracle_sql() -> dict[str, str]:
         FROM cand WHERE bit_count(xor(s1, s2)) <= 6
     """
 
+    # tau mirrored from queries.embedding_neardup (0.35: non-vacuous on
+    # the synthetic embeddings — the gate compares real pair rows)
     cos_ab = _EMB_COS.format(a="a.v", b="b.v")
     sql["embedding_neardup"] = f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
@@ -682,7 +693,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS id1, b.vec_id AS id2,
                floor(({cos_ab}) * 10000 + 0.5) / 10000.0 AS cosine
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE floor(({cos_ab}) * 10000 + 0.5) / 10000.0 >= 0.8
+        WHERE floor(({cos_ab}) * 10000 + 0.5) / 10000.0 >= 0.35
     """
 
     cos_qv = _EMB_COS.format(a="qv", b="v")
@@ -701,5 +712,9 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_brute_topk"] = _ANN
     # full-probe IVF (nprobe = n_centroids) is exact -> same oracle
     sql["ann_ivf_topk"] = _ANN
+
+    from dea_conflux_spark import minidrill
+
+    sql["mini_drill"] = minidrill.mini_drill_oracle_sql()
 
     return sql

@@ -1,0 +1,220 @@
+"""Deterministic mini drill fixture with a DuckDB-expressible oracle.
+
+The flagship drill's correctness is golden-tested against the in-repo
+numpy oracle, but the driver's DuckDB gate could not see it: the drill's
+inputs (tile bytes + polygon rings) are not relational.  This module makes
+the flagship semantics independently checkable by a SECOND engine:
+
+* polygons are CONVEX, so point-in-polygon is a conjunction of half-plane
+  tests ``a*x + b*y <= c`` — plain SQL;
+* the same deterministic pixel arrays are written twice: once ENCODED as
+  the engine's tile table (``mini_tiles.parquet`` — what the Spark drill
+  decodes and drills) and once EXPLODED as a relational pixel table
+  (``mini_pixels.parquet`` — what DuckDB aggregates);
+* overlap resolution (rasterise-last-wins, reference drill.py:85-90) is
+  ``arg_max(poly_id, ordinal)`` per pixel.
+
+Vertex coordinates are chosen off the pixel-centre lattice (fractional
+offsets) so no pixel centre lies on a polygon edge — ray-cast PIP and the
+half-plane conjunction agree exactly.  Pixel values keep every polygon's
+missing fraction <= 0.1 (asserted at build time), so the waterbodies
+NaN branch never fires and both engines stay in exact float territory
+(integer sums + one IEEE division).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from . import datagen
+from .core import codec, geom
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".bench_data", "mini_drill")
+_VERSION = "v1"  # bump to force regeneration
+
+MINI_GRID = datagen.GridSpec(G=2, T=2, w=16, h=16)
+
+
+def _convex_polys() -> list:
+    """Four convex polygons (CCW rings): two overlapping rectangles, a
+    hexagon, and a rectangle straddling the tile boundary."""
+
+    def rect(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+
+    hex_c = (100700.0, 100250.0)
+    ang = np.linspace(0.0, 2 * np.pi, 7)[:-1] + 0.3
+    hexagon = np.stack([hex_c[0] + 150.0 * np.cos(ang),
+                        hex_c[1] + 150.0 * np.sin(ang)], axis=1)
+    shapes = [
+        ("mini_rect_a", rect(100030.3, 100050.7, 100310.9, 100350.1)),
+        ("mini_rect_b", rect(100200.4, 100250.2, 100700.6, 100600.8)),
+        ("mini_hex_c", hexagon),
+        ("mini_rect_d", rect(100400.15, 100500.45, 100560.85, 100900.35)),
+    ]
+    polys = []
+    for i, (pid, ring) in enumerate(shapes):
+        rings = [np.asarray(ring, dtype=np.float64)]
+        bx = geom.bbox(rings)
+        cx, cy = geom.centroid(rings)
+        polys.append({
+            "poly_id": pid, "kind": "mini", "ordinal": i, "rings": rings,
+            "cx": cx, "cy": cy,
+            "xmin": bx[0], "ymin": bx[1], "xmax": bx[2], "ymax": bx[3],
+            "area": geom.area(rings),
+        })
+    return polys
+
+
+def _half_planes(polys: list) -> pd.DataFrame:
+    """(poly_id, ordinal, a, b, c): inside iff a*x + b*y <= c for ALL
+    planes of the polygon (CCW ring -> interior left of each edge)."""
+    rows = []
+    for p in polys:
+        ring = p["rings"][0]
+        n = len(ring)
+        for k in range(n):
+            px, py = ring[k]
+            qx, qy = ring[(k + 1) % n]
+            a, b = qy - py, -(qx - px)
+            rows.append((p["poly_id"], p["ordinal"], float(a), float(b),
+                         float(a * px + b * py)))
+    return pd.DataFrame(rows, columns=["poly_id", "ordinal", "a", "b", "c"])
+
+
+def _pixel_values(ts_idx: int, gx: int, gy: int) -> np.ndarray:
+    """Deterministic uint8 WOfS-style values: 0 dry / 128 wet / 2 invalid
+    (wofl=2 -> neither wet nor clear-dry), invalid rate ~2%."""
+    rng = np.random.default_rng([777, ts_idx, gx, gy])
+    r = rng.random((MINI_GRID.h, MINI_GRID.w))
+    arr = np.where(r < 0.40, 128, 0).astype(np.uint8)
+    arr[r > 0.98] = 2
+    return arr
+
+
+def build(out_dir: str = FIXTURE_DIR) -> str:
+    """Write the fixture (idempotent; keyed by _VERSION marker)."""
+    marker = os.path.join(out_dir, f".done_{_VERSION}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    g = MINI_GRID
+    polys = _convex_polys()
+    planes = _half_planes(polys)
+
+    tile_rows, px_rows = [], []
+    px_id = 0
+    for ts_idx in range(g.T):
+        for gy in range(g.G):
+            for gx in range(g.G):
+                arr = _pixel_values(ts_idx, gx, gy)
+                iid = datagen.image_id(ts_idx, gx, gy)
+                byts = codec.encode(arr, "raw")
+                tile_rows.append({
+                    "image_id": iid, "bytes": byts,
+                    "w": np.int32(g.w), "h": np.int32(g.h), "fmt": "raw",
+                    "caption": f"mini {iid}",
+                    "phash": np.int64(codec.phash64(arr)),
+                })
+                x0, y0 = g.tile_origin(gx, gy)
+                xs = x0 + (np.arange(g.w) + 0.5) * g.px_res
+                ys = y0 + (np.arange(g.h) + 0.5) * g.px_res
+                xx, yy = np.meshgrid(xs, ys)
+                n = g.w * g.h
+                px_rows.append(pd.DataFrame({
+                    "px_id": np.arange(px_id, px_id + n, dtype=np.int64),
+                    "ts_idx": np.int32(ts_idx),
+                    "x": xx.ravel(), "y": yy.ravel(),
+                    "val": arr.ravel().astype(np.int32),
+                }))
+                px_id += n
+
+    px = pd.concat(px_rows, ignore_index=True)
+
+    # build-time sanity vs the independent half-plane assignment: every
+    # (poly, ts) group must stay under the 10% missing gate so the
+    # waterbodies NaN branch never fires (exact cross-engine floats)
+    owner = np.full(len(px), -1, dtype=np.int64)
+    pid_of = {}
+    for p in polys:
+        pl = planes[planes.poly_id == p["poly_id"]]
+        inside = np.ones(len(px), dtype=bool)
+        for _, r in pl.iterrows():
+            inside &= (r.a * px.x.values + r.b * px.y.values) <= r.c
+        owner[inside] = p["ordinal"]  # ascending ordinal overwrite
+        pid_of[p["ordinal"]] = p["poly_id"]
+    for o in sorted(pid_of):
+        for ts in range(g.T):
+            m = (owner == o) & (px.ts_idx.values == ts)
+            assert m.any(), (pid_of[o], ts)
+            wofl = px.val.values[m] & 0b11110011
+            miss = (~((wofl == 128) | (wofl == 0))).mean()
+            assert miss <= 0.1, (pid_of[o], ts, miss)
+
+    pd.DataFrame(tile_rows).to_parquet(
+        os.path.join(out_dir, "mini_tiles.parquet"), index=False)
+    px.to_parquet(os.path.join(out_dir, "mini_pixels.parquet"), index=False)
+    planes.to_parquet(os.path.join(out_dir, "mini_planes.parquet"),
+                      index=False)
+    with open(marker, "w") as f:
+        f.write(_VERSION)
+    return out_dir
+
+
+def mini_drill(spark, sf_dir: str):
+    """The flagship waterbodies drill over the fixture tiles — compared
+    row-for-row against the half-plane SQL oracle by the driver gate."""
+    from .operators.drill import drill
+    from .plugins import get_plugin
+
+    out = build()
+    tiles = spark.read.parquet(os.path.join(out, "mini_tiles.parquet"))
+    polygons = spark.createDataFrame(
+        datagen.polygons_pdf(_convex_polys()), schema=datagen.POLY_SCHEMA)
+    res = drill(tiles, polygons, get_plugin("waterbodies_c3"), MINI_GRID,
+                partial=False)
+    return res.select("poly_id", "ts", "px_wet", "pc_wet", "pc_missing")
+
+
+def mini_drill_oracle_sql() -> str:
+    out = build()
+    px = os.path.join(out, "mini_pixels.parquet")
+    pl = os.path.join(out, "mini_planes.parquet")
+    return f"""
+        WITH px AS (SELECT * FROM read_parquet('{px}')),
+        pl AS (SELECT * FROM read_parquet('{pl}')),
+        inside AS (
+          SELECT px.px_id, px.ts_idx, px.val, pl.poly_id, pl.ordinal
+          FROM px JOIN pl ON TRUE
+          GROUP BY px.px_id, px.ts_idx, px.val, pl.poly_id, pl.ordinal
+          HAVING bool_and(pl.a * px.x + pl.b * px.y <= pl.c)
+        ),
+        own AS (
+          SELECT px_id, ts_idx, val,
+                 arg_max(poly_id, ordinal) AS poly_id
+          FROM inside GROUP BY px_id, ts_idx, val
+        ),
+        agg AS (
+          SELECT poly_id,
+                 TIMESTAMP '2020-01-01' + INTERVAL (ts_idx) DAY AS ts,
+                 COUNT(*) AS n_px,
+                 SUM(CASE WHEN (val & 243) NOT IN (0, 128)
+                     THEN 1 ELSE 0 END) AS n_missing,
+                 SUM(CASE WHEN (val & 243) = 128 THEN 1 ELSE 0 END) AS n_wet
+          FROM own GROUP BY 1, 2
+        )
+        SELECT poly_id, ts,
+               CASE WHEN n_missing / n_px <= 0.1
+                    THEN CAST(n_wet AS DOUBLE)
+                    ELSE CAST('nan' AS DOUBLE) END AS px_wet,
+               CASE WHEN n_missing / n_px <= 0.1
+                    THEN n_wet / n_px
+                    ELSE CAST('nan' AS DOUBLE) END AS pc_wet,
+               n_missing / n_px AS pc_missing
+        FROM agg
+    """

@@ -394,7 +394,14 @@ def docs_simhash_pairs(spark, sf):
 
 
 def embedding_neardup(spark, sf):
-    return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"), tau=0.8)
+    # tau=0.35 keeps the driver's oracle gate NON-vacuous: the synthetic
+    # embeddings tables top out at cosine ~0.47 (sf0.01) / ~0.51 (sf0.1)
+    # within label blocks, so the old tau=0.8 proved only that both
+    # engines return empty.  26 pairs at sf0.01, 391 at sf0.1.  Planted
+    # true near-dups at a production-style tau are exercised in
+    # tests/test_pipeline_ops.py.
+    return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"),
+                                         tau=0.35)
 
 
 def ann_brute_topk(spark, sf):

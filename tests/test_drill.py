@@ -258,3 +258,22 @@ def test_rings_join_and_dim_modes_identical(spark, tiles, polygons, grid):
     b = (drill_op.drill(tiles, polygons, plugin, grid, rings="dim")
          .toPandas().sort_values(["poly_id", "ts"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mini_drill_fixture_matches_duckdb_oracle(spark):
+    """The driver-gate mini fixture (convex polygons -> half-plane SQL)
+    agrees with the engine drill row-for-row — the flagship semantics
+    checked by a second, independent engine."""
+    import duckdb
+
+    from dea_conflux_spark import minidrill
+
+    got = (minidrill.mini_drill(spark, "")
+           .toPandas().sort_values(["poly_id", "ts"])
+           .reset_index(drop=True))
+    exp = (duckdb.connect().execute(minidrill.mini_drill_oracle_sql()).df()
+           .sort_values(["poly_id", "ts"]).reset_index(drop=True))
+    assert len(got) == 8
+    pd.testing.assert_frame_equal(
+        got.astype({"ts": "datetime64[ns]"}),
+        exp.astype({"ts": "datetime64[ns]"}))
