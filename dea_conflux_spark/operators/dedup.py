@@ -99,16 +99,35 @@ def _once(df: DataFrame) -> DataFrame:
     consumer.
 
     Spark's exchange-reuse does not unify these consumers (each alias gets
-    its own exchange; measured: the jaccard plan ran the tokenise+shingle
-    stage 6-8x, the hot-shingle build side once per consumer).  The
-    checkpoint pays when the table is small relative to its lineage —
-    doc-grain aggregates (sizes, simhash values, band hashes) whose
-    recompute would re-run the regex/shingle pipeline.  Measured on the
-    100k-doc corpus: checkpointing the doc-grain simhash table cut
-    simhash_pairs ~25%, while checkpointing the corpus-grain shingle
-    table itself was a wash (the write costs what the recompute saves) —
-    so only doc-grain tables go through here."""
+    its own exchange; measured: the jaccard plan used to run the
+    tokenise+shingle stage 6-8x, the hot-shingle build side once per
+    consumer).  The checkpoint pays whenever several consumers would
+    re-run the regex/shingle pipeline: doc-grain aggregates (sizes,
+    simhash values, band hashes) AND the corpus-grain shingle table
+    itself once it feeds 3+ consumers (hot-shingle build, size
+    aggregates, both self-join sides — see ``_shared_shingles``; an older
+    A/B that called the corpus-grain checkpoint "a wash" predates the
+    max_df anti-join, which doubled the recompute multiplier).  At
+    cluster scale the same role is played by a scratch-parquet /
+    Iceberg-temp materialisation — executor block storage keeps it
+    node-local here."""
     return df.localCheckpoint(eager=False)
+
+
+def _shared_shingles(docs: DataFrame, n: int,
+                     max_df: int | None) -> tuple[DataFrame, DataFrame]:
+    """(raw, filtered) shingle tables, each materialised ONCE.
+
+    ``raw`` feeds the hot-shingle build + any signature derivation;
+    ``filtered`` (hot shingles dropped when ``max_df`` is set) feeds the
+    size aggregates and both candidate/self-join sides.  Without this the
+    most CPU-expensive stage of the dedup family — the tokenise+shingle
+    regex pipeline — re-runs once per consumer (measured 4-6x on the
+    jaccard/LSH plans)."""
+    raw = _once(_shingles(docs, n))
+    if max_df is None:
+        return raw, raw
+    return raw, _once(_drop_hot_shingles(raw, max_df))
 
 
 def _jaccard_of_sizes(sizes: DataFrame, shared: DataFrame) -> DataFrame:
@@ -139,9 +158,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     over the same filtered universe so the score stays a true Jaccard of
     the retained shingle sets; mirror the cutoff in any oracle.
     """
-    sh = _shingles(docs, n)
-    if max_df is not None:
-        sh = _drop_hot_shingles(sh, max_df)
+    _, sh = _shared_shingles(docs, n, max_df)
     sizes = _once(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -158,7 +175,11 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures: for hash j,
     ``min((a_j * (md5i(shingle) % P) + b_j) % P)`` with a_j = 2j+1,
     b_j = 7919 * j — small literal constants shared with the SQL oracle."""
-    sh = _shingles(docs, n).withColumn("h", md5i(F.col("shingle")) % MH_P)
+    return _signatures_from(_shingles(docs, n))
+
+
+def _signatures_from(sh: DataFrame) -> DataFrame:
+    sh = sh.withColumn("h", md5i(F.col("shingle")) % MH_P)
     # One shuffle: gather each doc's shingle hashes, then compute all
     # MH_NH minima with JVM array expressions — no NH-fold row explosion.
     sig = F.transform(
@@ -184,7 +205,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     value — the all-pairs join LSH exists to avoid never runs.  ``max_df``
     optionally drops hot shingles from the verification universe (see
     :func:`ngram_jaccard_pairs`)."""
-    sigs = minhash_signatures(docs, n)
+    sh_raw, sh = _shared_shingles(docs, n, max_df)
+    sigs = _signatures_from(sh_raw)
     band_vals = F.transform(
         F.slice(F.col("sig"), F.col("band") * MH_BAND + 1, MH_BAND),
         lambda x: x.cast("string"))
@@ -203,9 +225,6 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("id1"),
                     F.col("b.doc_id").alias("id2")).distinct())
-    sh = _shingles(docs, n)
-    if max_df is not None:
-        sh = _drop_hot_shingles(sh, max_df)
     sizes = _once(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
     # shared-shingle counts for candidate pairs only: expand each pair by
     # id1's shingles (join on id1), keep rows where id2 holds the same
