@@ -64,6 +64,10 @@ DOC_SCHEMA = ("doc_id long, text string, lang string, source string, "
               "n_chars long")
 
 
+def fp_ledger_dir(out_dir: str) -> str:
+    return out_dir.rstrip("/") + "_fps"
+
+
 def dedup_docs_stream(spark, docs_path: str, out_dir: str, checkpoint: str,
                       trigger_available_now: bool = True):
     """Streaming corpus ingest with exact dedup: documents landing in
@@ -73,14 +77,21 @@ def dedup_docs_stream(spark, docs_path: str, out_dir: str, checkpoint: str,
     for a corpus that grows continuously.
 
     Semantics per micro-batch: (1) in-batch winners by (fp, min doc_id)
-    ranking window; (2) cross-batch novelty via LEFT ANTI join against
-    the accumulated output's fingerprints — the same anti-join-vs-ledger
-    shape as the drill's resume path (operators/ledger), so cost tracks
-    the batch, not the corpus rescan (the output read is an fp-column
-    scan, parquet-pruned).  Exactly-once: rows are keyed by epoch and
-    dynamically overwritten, and the novelty join EXCLUDES the current
-    epoch's own (possibly partially written) partition, so a retried
-    micro-batch neither duplicates nor suppresses itself."""
+    ranking window; (2) cross-batch novelty via LEFT ANTI join against a
+    dedicated FINGERPRINT LEDGER (``<out_dir>_fps``: fp-only rows,
+    epoch-partitioned) — the same anti-join-vs-ledger shape as the
+    drill's resume path (operators/ledger).  Per-batch novelty cost is a
+    scan of the ledger's tiny fp rows, O(distinct fingerprints), NOT a
+    rescan of the accumulated document corpus (whose rows carry full
+    text); the accepted output is never read back.  Compact the ledger's
+    epoch partitions between runs with :func:`compact_fp_ledger`; at
+    real deployment scale the same role is played by an Iceberg/Delta
+    MERGE target or a ledger bucketed by fp prefix.
+
+    Exactly-once: both the output docs and the ledger rows are keyed by
+    epoch and dynamically overwritten, and the novelty join EXCLUDES the
+    current epoch's own (possibly partially written) ledger partition,
+    so a retried micro-batch neither duplicates nor suppresses itself."""
     from pyspark.sql import Window as W
 
     from ..operators.textqa import norm_text
@@ -88,6 +99,7 @@ def dedup_docs_stream(spark, docs_path: str, out_dir: str, checkpoint: str,
     stream = (spark.readStream.schema(DOC_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(docs_path))
+    ledger = fp_ledger_dir(out_dir)
 
     def run_batch(batch_df, epoch_id: int):
         if batch_df.isEmpty():
@@ -100,19 +112,25 @@ def dedup_docs_stream(spark, docs_path: str, out_dir: str, checkpoint: str,
         from pyspark.errors import AnalysisException
 
         try:
-            seen = (sess.read.parquet(out_dir)
+            seen = (sess.read.parquet(ledger)
                     .filter(F.col("epoch") != int(epoch_id))
                     .select("fp"))
             b = b.join(seen, "fp", "left_anti")
         except AnalysisException:
-            pass  # first batch: no output yet
+            pass  # first batch: no ledger yet
         out = b.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+        # the novelty anti-join would otherwise run once per write below
+        out = out.localCheckpoint(eager=True)
         prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
                              "static")
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (out.write.mode("overwrite").partitionBy("epoch")
              .parquet(out_dir))
+            # ledger write AFTER the output commit: a crash in between
+            # retries the epoch, which overwrites both partitions
+            (out.select("fp", "epoch").write.mode("overwrite")
+             .partitionBy("epoch").parquet(ledger))
         finally:
             sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -121,6 +139,24 @@ def dedup_docs_stream(spark, docs_path: str, out_dir: str, checkpoint: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_fp_ledger(spark, out_dir: str) -> int:
+    """Collapse the fingerprint ledger's per-epoch partitions into one
+    ``epoch=-1`` base partition (run while the stream is stopped).
+
+    Keeps the ledger's file count O(1) instead of O(epochs) — the
+    per-batch file-listing cost stays flat no matter how long the stream
+    has been running.  Batches only ever write epoch >= 0 and the
+    novelty join only ever excludes the CURRENT epoch, so the base
+    partition is always visible to it.  Returns the distinct-fp count."""
+    ledger = fp_ledger_dir(out_dir)
+    fps = (spark.read.parquet(ledger).select("fp").distinct()
+           .withColumn("epoch", F.lit(-1).cast("long")))
+    fps = fps.localCheckpoint(eager=True)  # read fully before overwrite
+    n = fps.count()
+    (fps.write.mode("overwrite").partitionBy("epoch").parquet(ledger))
+    return n
 
 
 def windowed_tile_counts(spark, tiles_path: str):

@@ -1,6 +1,8 @@
 """Structured-streaming surface: NRT incremental drill (foreachBatch) and
 windowed counts, driven to completion with availableNow triggers."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -117,3 +119,75 @@ def test_dedup_docs_stream_first_arrival_wins(spark, tmp_path):
     q.awaitTermination(120)
     again = spark.read.parquet(out).select("doc_id").toPandas()
     assert sorted(again["doc_id"]) == [1, 2, 11]
+
+
+def _doc_wave(spark, src, ids_texts):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in ids_texts],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    (spark.createDataFrame(pdf, incremental.DOC_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(src))
+
+
+def test_dedup_docs_stream_novelty_from_ledger_not_output(spark, tmp_path):
+    """The cross-batch novelty check must read ONLY the fingerprint
+    ledger, never the accumulated corpus output: archive the output dir
+    between waves (ledger + checkpoint intact) and a wave-2 duplicate of
+    wave-1 content is still suppressed."""
+    import shutil
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _doc_wave(spark, src, [(1, "seen this text"), (2, "other text")])
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    # the accepted corpus moves away (e.g. archived to cold storage);
+    # per-batch cost must not depend on it being readable
+    shutil.move(out, out + "_archived")
+    assert os.path.isdir(incremental.fp_ledger_dir(out))
+
+    _doc_wave(spark, src, [(10, "seen this text"),  # dup of doc 1
+                           (11, "fresh content")])
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("doc_id").toPandas()
+    assert sorted(got["doc_id"]) == [11]  # dup suppressed by ledger alone
+    # ledger rows are fp-only (no document payload ever re-scanned)
+    led = spark.read.parquet(incremental.fp_ledger_dir(out))
+    assert set(led.columns) == {"fp", "epoch"}
+
+
+def test_compact_fp_ledger_keeps_dedup_and_bounds_partitions(spark,
+                                                            tmp_path):
+    """Compaction collapses the ledger to one epoch=-1 base partition
+    (file count O(1), not O(epochs)) and later waves still dedup against
+    it."""
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _doc_wave(spark, src, [(1, "aaa bbb"), (2, "ccc ddd")])
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    _doc_wave(spark, src, [(3, "eee fff")])
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    n = incremental.compact_fp_ledger(spark, out)
+    assert n == 3
+    ldir = incremental.fp_ledger_dir(out)
+    parts = [d for d in os.listdir(ldir) if d.startswith("epoch=")]
+    assert parts == ["epoch=-1"]
+
+    _doc_wave(spark, src, [(20, "aaa bbb!"),  # normalises equal to doc 1
+                           (21, "new after compaction")])
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).select("doc_id").toPandas()
+    assert sorted(got["doc_id"]) == [1, 2, 3, 21]
