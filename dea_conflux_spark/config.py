@@ -55,7 +55,8 @@ def get_spark(app: str = "dea-conflux-spark", cpus: int | str | None = None,
         # faster than 128 on the round-3 drill (and faster than 1024/2048:
         # large batches lose JVM->python pipelining, tiny ones pay per-batch
         # overhead); re-sweep after UDF-loop changes
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_MRB", "512"))
         # byte-heavy tile rows (~16 KB each): the default 10k-row columnar
         # cache batch means ~160 MB allocations per batch -> GC spikes;
         # 512 rows keeps cached batches ~8 MB

@@ -292,27 +292,64 @@ def wit_tile_bands(grid: GridSpec, ts_idx: int, gx: int, gy: int,
     return bands
 
 
-def make_wit_tiles_pdf(grid: GridSpec, polys: list) -> pd.DataFrame:
-    """WIT multiband tile table (fmt='multiraw', same input_hint schema)."""
+def wit_tile_row(grid: GridSpec, t: int, gx: int, gy: int,
+                 preps: list) -> dict:
     from .plugins.wit import WIT_BANDS
 
+    bands = wit_tile_bands(grid, t, gx, gy, preps)
+    data = codec.encode_bands(bands, WIT_BANDS)
+    iid = image_id(t, gx, gy)
+    frac = float((bands["water"] & 128 > 0).mean())
+    return {
+        "image_id": iid, "bytes": data,
+        "w": np.int32(grid.w), "h": np.int32(grid.h),
+        "fmt": "multiraw",
+        "caption": f"scene {iid} wet_frac={frac:.3f}",
+        "phash": np.int64(codec.phash64(bands["water"])),
+    }
+
+
+def make_wit_tiles_pdf(grid: GridSpec, polys: list) -> pd.DataFrame:
+    """WIT multiband tile table (fmt='multiraw', same input_hint schema)."""
     preps = prepare_polys(polys)
-    rows = []
-    for t in range(grid.T):
-        for gx in range(grid.G):
-            for gy in range(grid.G):
-                bands = wit_tile_bands(grid, t, gx, gy, preps)
-                data = codec.encode_bands(bands, WIT_BANDS)
-                iid = image_id(t, gx, gy)
-                frac = float((bands["water"] & 128 > 0).mean())
-                rows.append({
-                    "image_id": iid, "bytes": data,
-                    "w": np.int32(grid.w), "h": np.int32(grid.h),
-                    "fmt": "multiraw",
-                    "caption": f"scene {iid} wet_frac={frac:.3f}",
-                    "phash": np.int64(codec.phash64(bands["water"])),
-                })
-    return pd.DataFrame(rows)
+    return pd.DataFrame([wit_tile_row(grid, t, gx, gy, preps)
+                         for t in range(grid.T)
+                         for gx in range(grid.G)
+                         for gy in range(grid.G)])
+
+
+def generate_wit_tiles_spark(spark, grid: GridSpec, polys: list,
+                             out_path: str) -> None:
+    """Distributed WIT multiband generation (``make_wit_tiles_pdf``
+    parallelised over the (ts, gx, gy) index space — same pattern as
+    :func:`generate_tiles_spark`)."""
+    from pyspark.sql import functions as F
+
+    idx = (
+        spark.range(grid.T * grid.G * grid.G)
+        .select(
+            (F.col("id") % grid.T).cast("int").alias("ts_idx"),
+            ((F.col("id") / grid.T).cast("long") % grid.G).cast("int")
+            .alias("gx"),
+            (F.col("id") / (grid.T * grid.G)).cast("int").alias("gy"),
+        )
+        .repartition(max(32, spark.sparkContext.defaultParallelism * 2))
+    )
+    grid_b = spark.sparkContext.broadcast(grid)
+    polys_b = spark.sparkContext.broadcast(
+        [(p["ordinal"], [np.asarray(r) for r in p["rings"]]) for p in polys])
+
+    def gen(batches):
+        g = grid_b.value
+        preps = [(o, geom.prepare(rings), i * 0.37)
+                 for i, (o, rings) in enumerate(polys_b.value)]
+        for pdf in batches:
+            yield pd.DataFrame(
+                [wit_tile_row(g, int(r.ts_idx), int(r.gx), int(r.gy), preps)
+                 for r in pdf.itertuples()])
+
+    (idx.mapInPandas(gen, schema=TILE_SCHEMA)
+     .write.mode("overwrite").parquet(out_path))
 
 
 def photo_pixels(grid: GridSpec, ts_idx: int, gx: int, gy: int) -> np.ndarray:

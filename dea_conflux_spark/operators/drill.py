@@ -47,11 +47,12 @@ _ID_RE = re.compile(r"^t(\d+)_x(\d+)_y(\d+)$")
 FLAG_COLS = ["conflux_n", "conflux_s", "conflux_e", "conflux_w"]
 
 
-def _make_driller(plugin: DrillSpec, g: GridSpec):
+def _make_driller(plugin: DrillSpec, g: GridSpec, rmap: dict | None = None):
     """Per-task drill state shared by both execution paths (the joined
     stream ``mapInPandas`` and the cogrouped ``applyInPandas``): a
-    prepared-geometry cache, an owner-raster cache, and the per-tile drill
-    step.  Returns ``(drill_one, prep_cache)``.
+    prepared-geometry cache, an owner-raster cache, a per-footprint
+    candidate-list cache, and the per-tile drill step.  Returns
+    ``(drill_one, cands_for, prep_cache)``.
 
     * ``prep_cache`` — tiles of the same footprint reuse the Prepared edge
       arrays instead of rebuilding them per tile.
@@ -60,11 +61,49 @@ def _make_driller(plugin: DrillSpec, g: GridSpec):
       slot reuses it: rasterisation cost is O(distinct footprints), not
       O(tiles).  Small cap; adjacency (partition-local sort / grouping)
       makes repeats adjacent so a handful of entries achieves ~full reuse.
-    """
+    * candidate cache (``cands_for``) — the per-row candidate payload is
+      identical for every timestep of a footprint, so the decode of the
+      Arrow struct list, the prep inserts, and the ordinal sort run once
+      per footprint instead of once per tile row (~candidates x tiles
+      dict/list operations saved).  The per-slot scratch also memoizes the
+      {ordinal: poly_id} output map and the ordinal list.
+
+    The three caches evict TOGETHER (inside the owner build): a candidate
+    cache hit therefore implies its Prepared geometries are still
+    resident."""
     prep_cache: dict = {}
     owner_cache: dict = {}
+    cands_cache: dict = {}
 
-    def owner_for(gx, gy, h, w, cands, x0, y0, tx1, ty1, xs, ys):
+    def cands_for(gx, gy, payload):
+        """Ascending [(ordinal, poly_id)] for a footprint, memoized; on a
+        miss the Prepared geometries are (re)inserted into prep_cache."""
+        key = (gx, gy)
+        c = cands_cache.get(key)
+        if c is not None:
+            return c
+        c = []
+        if rmap is None:
+            # rings inside the candidate join payload (already in
+            # ascending-ordinal order via sort_array)
+            for s in payload:
+                ordinal, pid = int(s["ordinal"]), s["poly_id"]
+                if pid not in prep_cache:
+                    prep_cache[pid] = geom.prepare(s["rings"])
+                c.append((ordinal, pid))
+        else:
+            # id-only payload; geometry from the pruned-dimension
+            # broadcast, sorted to ascending drill order
+            for pid in payload:
+                ordinal, rings_v = rmap[pid]
+                if pid not in prep_cache:
+                    prep_cache[pid] = geom.prepare(rings_v)
+                c.append((ordinal, pid))
+            c.sort()
+        cands_cache[key] = c
+        return c
+
+    def owner_for(gx, gy, h, w, cands):
         """-> (owner raster, per-slot scratch dict).  The scratch dict
         shares the owner's cache lifetime; plugins memoize owner-derived
         index structures in it (base.owner_index)."""
@@ -72,8 +111,20 @@ def _make_driller(plugin: DrillSpec, g: GridSpec):
         cached = owner_cache.get(key)
         if cached is not None:
             return cached
+        x0, y0 = g.tile_origin(gx, gy)
+        tx1 = x0 + w * g.px_res
+        ty1 = y0 + h * g.px_res
+        xs = x0 + (np.arange(w) + 0.5) * g.px_res
+        ys = y0 + (np.arange(h) + 0.5) * g.px_res
+        # owner holds the DENSE candidate position (0..len(cands)-1), not
+        # the layer-global ordinal: cands ascend by ordinal, so ascending
+        # position overwrite preserves rasterize-last-wins, while the
+        # per-tile count arrays (bincount minlength) shrink from the
+        # global ordinal RANGE (10^4+ on a dense layer -> 100s of KB
+        # zeroed per tile) to the candidate count (~10).  ``o2p`` in the
+        # slot scratch maps positions back to poly_ids for the output.
         owner = np.full((h, w), -1, dtype=np.int32)
-        for ordinal, pid in cands:
+        for pos, (ordinal, pid) in enumerate(cands):
             prep = prep_cache[pid]
             bx0, by0, bx1, by1 = prep.bbox
             if bx1 <= x0 or bx0 >= tx1 or by1 <= y0 or by0 >= ty1:
@@ -81,7 +132,7 @@ def _make_driller(plugin: DrillSpec, g: GridSpec):
             if (bx0 <= x0 and bx1 >= tx1 and by0 <= y0
                     and by1 >= ty1
                     and geom.rect_fully_inside(prep, x0, y0, tx1, ty1)):
-                owner[:, :] = ordinal  # interior fast path: no PIP
+                owner[:, :] = pos  # interior fast path: no PIP
                 continue
             j0 = int(np.searchsorted(xs, bx0))
             j1 = int(np.searchsorted(xs, bx1))
@@ -91,39 +142,30 @@ def _make_driller(plugin: DrillSpec, g: GridSpec):
                 continue
             sub = geom.contains_grid(prep, xs[j0:j1], ys[i0:i1])
             view = owner[i0:i1, j0:j1]
-            view[sub] = ordinal
+            view[sub] = pos
         if len(owner_cache) >= 64:
             owner_cache.clear()
-            # evict the prepared geometries with the owners: adjacency
-            # makes footprint repeats contiguous, so needed preps
-            # re-insert lazily on the next row while a long task no
-            # longer accumulates one Prepared per distinct polygon it
-            # ever saw
+            # evict the prepared geometries AND candidate lists with the
+            # owners: adjacency makes footprint repeats contiguous, so
+            # needed entries re-insert lazily on the next row while a
+            # long task no longer accumulates one Prepared per distinct
+            # polygon it ever saw
             prep_cache.clear()
-        entry = (owner, {})
+            cands_cache.clear()
+        entry = (owner, {"o2p": {i: pid
+                                 for i, (_, pid) in enumerate(cands)},
+                         "ords": list(range(len(cands)))})
         owner_cache[key] = entry
         return entry
 
-    def drill_one(image_id, byts, h, w, fmt, cands, out):
+    def drill_one(image_id, ts_idx, gx, gy, byts, h, w, fmt, cands, out):
         """Drill one tile into the ``out`` chunk accumulator (see
         ``_flush``).  ``cands`` is the ascending [(ordinal, poly_id)]
         candidate list whose Prepared geometries are present in
-        ``prep_cache``."""
-        m = _ID_RE.match(image_id)
-        if not m:
-            return
-        ts_idx, gx, gy = (int(m.group(1)), int(m.group(2)),
-                          int(m.group(3)))
+        ``prep_cache`` (guaranteed by ``cands_for`` / the caller)."""
         raw = plugin.decode(byts, h, w, fmt)
-        x0, y0 = g.tile_origin(gx, gy)
-        tx1 = x0 + w * g.px_res
-        ty1 = y0 + h * g.px_res
-        xs = x0 + (np.arange(w) + 0.5) * g.px_res
-        ys = y0 + (np.arange(h) + 0.5) * g.px_res
-        owner, scratch = owner_for(gx, gy, h, w, cands, x0, y0,
-                                   tx1, ty1, xs, ys)
-        ord2pid = dict(cands)
-        ords = [o for o, _ in cands]
+        owner, scratch = owner_for(gx, gy, h, w, cands)
+        ords = scratch["ords"]
         grouped = plugin.partials_grouped_raw(raw, owner, ords,
                                               scratch=scratch)
         if grouped is None:
@@ -132,15 +174,16 @@ def _make_driller(plugin: DrillSpec, g: GridSpec):
                                               scratch=scratch)
         if not grouped:
             return
+        o2p = scratch["o2p"]
         vals = list(grouped.values())
-        out["poly_id"].append([ord2pid[o] for o in grouped])
+        out["poly_id"].append([o2p[o] for o in grouped])
         out["_meta"].append((image_id, ts_idx, len(vals)))
         for i, (name, typ) in enumerate(plugin.partial_fields):
             out[name].append(np.fromiter((v[i] for v in vals),
                                          dtype=_DTYPES[typ],
                                          count=len(vals)))
 
-    return drill_one, prep_cache
+    return drill_one, cands_for, prep_cache
 
 
 _DTYPES = {"long": np.int64, "double": np.float64}
@@ -406,31 +449,21 @@ def drill_partials(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
     def run(batches):
         g: GridSpec = grid_b.value
         rmap = rings_b.value if rings_b is not None else None
-        drill_one, prep_cache = _make_driller(plugin, g)
+        drill_one, cands_for, _ = _make_driller(plugin, g, rmap)
 
         for pdf in batches:
             out = _empty_out(plugin)
             for row in pdf.itertuples():
-                cands = []
-                if rmap is None:
-                    # rings inside the candidate join payload (already in
-                    # ascending-ordinal order via sort_array)
-                    for c in row.cand_polys:
-                        ordinal, pid = int(c["ordinal"]), c["poly_id"]
-                        if pid not in prep_cache:
-                            prep_cache[pid] = geom.prepare(c["rings"])
-                        cands.append((ordinal, pid))
-                else:
-                    # id-only payload; geometry from the pruned-dimension
-                    # broadcast, sorted to ascending drill order
-                    for pid in row.cand_polys:
-                        ordinal, rings_v = rmap[pid]
-                        if pid not in prep_cache:
-                            prep_cache[pid] = geom.prepare(rings_v)
-                        cands.append((ordinal, pid))
-                    cands.sort()
-                drill_one(row.image_id, row.bytes, int(row.h), int(row.w),
-                          row.fmt, cands, out)
+                iid = row.image_id
+                # fixed prefix t<ts>_: faster than a regex per row;
+                # malformed ids are skipped (the ledger quarantines them)
+                cut = iid.find("_")
+                if cut < 2 or iid[0] != "t" or not iid[1:cut].isdigit():
+                    continue
+                ts_idx = int(iid[1:cut])
+                cands = cands_for(row.gx, row.gy, row.cand_polys)
+                drill_one(iid, ts_idx, row.gx, row.gy, row.bytes,
+                          int(row.h), int(row.w), row.fmt, cands, out)
             yield _flush(plugin, out)
 
     return work.mapInPandas(run, schema=schema)
@@ -581,23 +614,27 @@ def drill_partials_cogrouped(tiles: DataFrame, polygons: DataFrame,
     def run_cg(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if "d" not in holder:
             holder["d"] = _make_driller(plugin, grid_b.value)
-        drill_one, prep_cache = holder["d"]
+        drill_one, _, prep_cache = holder["d"]
         out = _empty_out(plugin)
         if len(lpdf) and len(rpdf):
             # one candidate row per group: rings decoded from Arrow once
-            # per (footprint, time bucket), reused for every tile row
-            ring_map = {}
+            # per (footprint, time bucket), reused for every tile row.
+            # Preps are (re)inserted once per group — the only point an
+            # eviction can strike is inside the first row's owner build,
+            # after which this group's preps are no longer needed.
             cands = []
             for c in rpdf.iloc[0]["cand_polys"]:
                 ordinal, pid = int(c["ordinal"]), c["poly_id"]
-                ring_map[pid] = c["rings"]
+                if pid not in prep_cache:
+                    prep_cache[pid] = geom.prepare(c["rings"])
                 cands.append((ordinal, pid))
             for row in lpdf.itertuples():
-                for _, pid in cands:
-                    if pid not in prep_cache:
-                        prep_cache[pid] = geom.prepare(ring_map[pid])
-                drill_one(row.image_id, row.bytes, int(row.h), int(row.w),
-                          row.fmt, cands, out)
+                iid = row.image_id
+                cut = iid.find("_")
+                if cut < 2 or iid[0] != "t" or not iid[1:cut].isdigit():
+                    continue
+                drill_one(iid, int(iid[1:cut]), row.gx, row.gy, row.bytes,
+                          int(row.h), int(row.w), row.fmt, cands, out)
         return _flush(plugin, out)
 
     return (left.groupBy(*keys)

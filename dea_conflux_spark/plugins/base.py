@@ -35,6 +35,33 @@ def owner_index(owner: np.ndarray, scratch: dict | None = None):
     return oi
 
 
+def owner_segments(oi, scratch: dict | None = None):
+    """(gix, segs): assigned-pixel flat indices REORDERED so each owner's
+    pixels are contiguous, plus ``segs`` = [(owner_value_rebased, start,
+    end)] slice bounds into that order.
+
+    Like :func:`owner_index` this depends only on the owner raster, so
+    the drill's per-grid-slot ``scratch`` computes it once per slot.  It
+    exists because per-element kernels (``bincount``, LUT ``take``) cost
+    ~3 ns/element while SIMD passes (``&``, ``==``, ``count_nonzero``)
+    cost ~0.2 ns/element: a plugin that gathers through ``gix`` once and
+    then counts per contiguous slice replaces every per-element scatter
+    with slice-local SIMD counts — the drill UDF's hot path."""
+    if scratch is not None and "segs" in scratch:
+        return scratch["segs"]
+    sel, idx, lo, nb, n_px, nz = oi
+    order = np.argsort(idx, kind="stable")
+    gix = np.flatnonzero(sel)[order]
+    sidx = idx[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(sidx)) + 1))
+    ends = np.concatenate((starts[1:], [sidx.size]))
+    segs = (gix, [(int(sidx[a]), int(a), int(b))
+                  for a, b in zip(starts, ends)])
+    if scratch is not None:
+        scratch["segs"] = segs
+    return segs
+
+
 class DrillSpec:
     """A drill plugin.
 

@@ -16,7 +16,6 @@ import numpy as np
 from . import base
 from .base import DrillSpec
 
-
 class WaterbodiesC3(DrillSpec):
     name = "waterbodies_c3"
     version = "0.0.1"
@@ -60,20 +59,27 @@ class WaterbodiesC3(DrillSpec):
                              ordinals: list,
                              scratch: dict | None = None) -> dict:
         # bit-identical to transform()+partials_grouped() without the
-        # float32 NaN band: gather the assigned pixels FIRST, then
-        # classify the uint8 bitfield — water is NaN iff ~is_ok and
-        # ==1.0 iff is_wet (wet implies ok), so the NaN/wet bincounts
-        # are pure boolean counts over the gathered bytes
+        # float32 NaN band: gather the assigned pixels in owner-sorted
+        # order (one fancy gather through the per-slot segment memo),
+        # classify with two SIMD boolean passes over the uint8 bitfield,
+        # and count each polygon's wet/missing pixels with slice-local
+        # ``count_nonzero`` — no per-element bincount/LUT kernels
+        # (~3 ns/element) anywhere in the per-tile path.  water is NaN
+        # iff ~is_ok and ==1.0 iff is_wet (wet implies ok), so the
+        # counts are pure boolean counts over the gathered bytes.
         oi = base.owner_index(owner, scratch)
         if not oi:
             return {}
-        sel, idx, lo, nb, n_px, nz = oi
-        wofl = raw.ravel()[sel] & 0b11110011
-        is_wet = wofl == 128
-        n_missing = np.bincount(idx[~(is_wet | (wofl == 0))], minlength=nb)
-        n_wet = np.bincount(idx[is_wet], minlength=nb)
-        return {o + lo: (int(n_px[o]), int(n_missing[o]), int(n_wet[o]))
-                for o in nz}
+        lo = oi[2]
+        gix, segs = base.owner_segments(oi, scratch)
+        vv = raw.ravel()[gix]
+        wofl = vv & 0b11110011
+        wet = wofl == 128
+        ok = wet | (wofl == 0)
+        cnz = np.count_nonzero
+        return {o + lo: (b - a, (b - a) - int(cnz(ok[a:b])),
+                         int(cnz(wet[a:b])))
+                for o, a, b in segs}
 
     def final_aggs(self):
         from pyspark.sql import functions as F
