@@ -457,11 +457,13 @@ def write_baseline_md(result: dict) -> None:
             f"| joined (broadcast-candidate) drill, SAME session as the "
             f"two cogrouped rows above @ local[{result['cpus']}] | "
             f"{ji['drill_sec']} s = {ji['tiles_per_sec']} tiles/sec — "
-            "the like-for-like joined-vs-cogrouped comparison: the "
-            "cogrouped path's gap vs this row is the price of removing "
-            "every broadcast (group-at-once Arrow + bucketed-table scan "
-            "vs in-memory cache), paid only when the candidate geometry "
-            "outgrows every broadcast budget |",
+            "the like-for-like joined-vs-cogrouped comparison (one "
+            "session, same input).  The two paths trade in-memory-cache "
+            "scans + a candidate broadcast (joined) against "
+            "bucketed-table scans + group-at-once Arrow (cogrouped); "
+            "measured within a session they are within ~10% of each "
+            "other either way, so removing every broadcast — the "
+            "huge-layer requirement — costs little or nothing |",
         ]
     if s.get(f"local{result['cpus']}"):
         lines.append(
