@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh_pairs": Q.docs_minhash_lsh_pairs,
         "docs_simhash": Q.docs_simhash,
         "docs_simhash_pairs": Q.docs_simhash_pairs,
+        "docs_neardup_components": Q.docs_neardup_components,
         "embedding_neardup": Q.embedding_neardup,
         # similarity search
         "embedding_label_centroids": Q.embedding_label_centroids,
@@ -682,6 +683,32 @@ def oracle_sql() -> dict[str, str]:
                       AND a.doc_id < b.doc_id)
         SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(s1, s2)) <= 6
+    """
+
+    # connected components of the same pair graph: recursive transitive
+    # closure + per-node minimum — the independent check of the engine's
+    # pointer-doubling min-label propagation (dedup.connected_components)
+    sql["docs_neardup_components"] = f"""
+        WITH RECURSIVE {_SIMHASH},
+        bs(q, start, width) AS (VALUES {_blk_vals}),
+        blk AS (SELECT doc_id, simhash, q,
+                       (simhash >> start) & ((CAST(1 AS BIGINT) << width) - 1)
+                         AS block
+                FROM sim CROSS JOIN bs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                        a.simhash AS s1, b.simhash AS s2
+                 FROM blk a JOIN blk b ON a.q = b.q AND a.block = b.block
+                      AND a.doc_id < b.doc_id),
+        edges AS (SELECT id1 AS a, id2 AS b FROM cand
+                  WHERE bit_count(xor(s1, s2)) <= 6),
+        bi AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        nodes AS (SELECT DISTINCT a AS node FROM bi),
+        reach(a, b) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN bi e ON e.a = r.b
+        )
+        SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
     """
 
     # tau mirrored from queries.embedding_neardup (0.35: non-vacuous on

@@ -333,7 +333,8 @@ def embedding_neardup_pairs(embeddings: DataFrame,
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 10,
-                         strict: bool = True) -> DataFrame:
+                         strict: bool = True,
+                         scratch_dir: str | None = None) -> DataFrame:
     """(node, component) — connected components of the near-dup pair graph
     by min-label propagation with pointer doubling.
 
@@ -354,12 +355,36 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
 
     Used to resolve transitive duplicate groups exactly where
     ``dedup_keep_canonical``'s clique assumption would over/under-drop.
+
+    Iteration-safety plumbing (both found the hard way):
+
+    * each pointer jump SELF-joins the evolving label table; without the
+      per-jump lazy lineage truncation the logical plan doubles per jump
+      (2^n_jumps copies) and Catalyst analysis explodes exponentially;
+    * ``localCheckpoint`` PRESERVES the origin plan's size statistics,
+      and a self-join SQUARES sizeInBytes — so the stat's bit-length
+      doubles per jump and Catalyst ends up multiplying million-bit
+      BigIntegers by round 3 (observed: 100 s of driver CPU inside
+      BigInteger.multiply).  Labels therefore spill to PARQUET at each
+      round boundary (the PeriodicCheckpointer pattern of iterative
+      Spark algorithms): the scan's statistics reset to the real file
+      size, bounding the within-round growth at n_jumps doublings of a
+      ~20-bit number.  ``scratch_dir`` overrides the spill location (use
+      a job-scoped checkpoint dir on a cluster); only the final round's
+      spill is kept — it backs the returned DataFrame.
     """
     import math
+    import shutil
+    import tempfile
 
+    # materialise the (possibly expensive) pair lineage ONCE: the edge
+    # table is re-read every round by the neighbour-min join, and without
+    # this an LSH/SimHash candidate pipeline upstream would re-execute
+    # per round
     edges = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
              .union(pairs.select(F.col("id2").alias("a"),
-                                 F.col("id1").alias("b"))))
+                                 F.col("id1").alias("b")))
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("a").alias("node"))
               .union(edges.select(F.col("b").alias("node")))
               .distinct()
@@ -367,8 +392,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
               .localCheckpoint(eager=True))
     n_nodes = labels.count()
     n_jumps = max(1, math.ceil(math.log2(max(2, n_nodes))))
+    spark = pairs.sparkSession
+    base = scratch_dir or tempfile.mkdtemp(prefix="cc_labels_")
+    prev_spill = None
     changed = 0
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # candidate labels: own label plus the minimum neighbour label
         neigh = (edges.join(labels, edges.b == labels.node)
                  .groupBy(F.col("a").alias("node"))
@@ -381,7 +409,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
         # pointer doubling: component <- label(component).  Labels only
         # ever point at smaller ids, so l(l(x)) <= l(x) and each jump
         # doubles the distance covered along the label chain — log2(n)
-        # jumps exhaust any chain the neighbour pass created.
+        # jumps exhaust any chain the neighbour pass created.  Each jump
+        # SELF-joins the evolving label table, i.e. references it twice:
+        # without the per-jump lineage truncation below the logical plan
+        # doubles per jump (2^n_jumps copies of the base plan) and
+        # Catalyst analysis time explodes exponentially — the lazy
+        # checkpoint keeps the plan O(1) per jump and materialises each
+        # jump's table exactly once when the round executes.
         for _j in range(n_jumps):
             lk = new_labels.select(F.col("node").alias("_cn"),
                                    F.col("component").alias("_cc"))
@@ -389,12 +423,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
                           .join(lk, new_labels.component == lk._cn, "left")
                           .select("node",
                                   F.coalesce("_cc", "component")
-                                  .alias("component")))
+                                  .alias("component"))
+                          .localCheckpoint(eager=False))
+        # spill BEFORE the convergence probe: the round's
+        # (1 + n_jumps)-join lineage executes once, the probe reads the
+        # materialised result, and the parquet scan resets the size
+        # statistics (see docstring).  Previous rounds' spills are
+        # dropped as soon as superseded.
+        spill = f"{base}/round{rnd}"
+        new_labels.write.mode("overwrite").parquet(spill)
+        new_labels = spark.read.parquet(spill)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.component") != F.col("o.component"))
                    .limit(1).count())
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
+        if prev_spill:
+            shutil.rmtree(prev_spill, ignore_errors=True)
+        prev_spill = spill
         if changed == 0:
             break
     if changed != 0:

@@ -393,6 +393,15 @@ def docs_simhash_pairs(spark, sf):
     return dedup.simhash_pairs(_t(spark, sf, "documents"), max_hamming=6)
 
 
+def docs_neardup_components(spark, sf):
+    """Transitive duplicate-group resolution: connected components of the
+    SimHash near-dup pair graph (pointer-doubling min-label propagation)
+    — exact-checked against a DuckDB recursive-closure oracle."""
+    pairs = dedup.simhash_pairs(_t(spark, sf, "documents"), max_hamming=6)
+    return (dedup.connected_components(pairs)
+            .select("node", "component"))
+
+
 def embedding_neardup(spark, sf):
     # tau=0.35 keeps the driver's oracle gate NON-vacuous: the synthetic
     # embeddings tables top out at cosine ~0.47 (sf0.01) / ~0.51 (sf0.1)

@@ -511,3 +511,53 @@ def test_canonical_best_quality_prefers_clean_duplicate(spark, docs):
                         "'[^a-z0-9]+', ' '))) AS fp")
             .distinct().count())
     assert len(out) == n_fp
+
+
+def test_connected_components_many_rounds_no_stats_blowup(spark):
+    """Regression: ``localCheckpoint`` preserves origin size statistics
+    and each pointer-jump SELF-join squares sizeInBytes, so before the
+    per-round parquet spill a 3-round run multiplied million-bit
+    BigIntegers in Catalyst and effectively hung (>500 s for a 150-node
+    graph).  A component mix that needs 3+ rounds must now complete in
+    seconds and match the union-find oracle."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    edges = set()
+    # several mid-size random components + a long chain: the simhash-pair
+    # shape that required >= 3 min-propagation rounds
+    for block in range(6):
+        nodes = list(range(block * 40, block * 40 + 40))
+        for _ in range(50):
+            a, b = rng.choice(nodes, 2, replace=False)
+            edges.add((int(min(a, b)), int(max(a, b))))
+    edges |= {(300 + i, 301 + i) for i in range(60)}
+    pairs = spark.createDataFrame(sorted(edges), "id1 long, id2 long")
+    t0 = time.monotonic()
+    out = dedup.connected_components(pairs).toPandas()
+    wall = time.monotonic() - t0
+    assert wall < 120, f"CC took {wall:.0f}s — stats blowup is back"
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {}
+    for n in list(parent):
+        exp.setdefault(find(n), set()).add(n)
+    got = {}
+    for n, c in zip(out["node"], out["component"]):
+        got.setdefault(c, set()).add(n)
+    assert sorted(map(sorted, got.values())) == \
+        sorted(map(sorted, exp.values()))
