@@ -101,6 +101,12 @@ def _mini_drill(spark, sf_dir):
     return minidrill.mini_drill(spark, sf_dir)
 
 
+def _mini_knn(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_knn(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # aggregations / scans
@@ -155,9 +161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": Q.ann_ivf_topk,
         # rows-only: approximate configuration, recall floor in tests
         "ann_ivf_partial_probe": Q.ann_ivf_partial_probe,
-        # geospatial: the flagship semantics with an EXACT second-engine
-        # check — convex polygons drill as half-plane SQL (minidrill.py)
+        # geospatial: flagship + kNN semantics with EXACT second-engine
+        # checks — convex polygons drill as half-plane SQL, centroid kNN
+        # as brute-force SQL (minidrill.py)
         "mini_drill": _mini_drill,
+        "mini_knn": _mini_knn,
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
         "flagship_drill": _flagship_drill,
@@ -743,5 +751,6 @@ def oracle_sql() -> dict[str, str]:
     from dea_conflux_spark import minidrill
 
     sql["mini_drill"] = minidrill.mini_drill_oracle_sql()
+    sql["mini_knn"] = minidrill.mini_knn_oracle_sql()
 
     return sql

@@ -35,7 +35,7 @@ from .core import codec, geom
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench_data", "mini_drill")
-_VERSION = "v1"  # bump to force regeneration
+_VERSION = "v2"  # bump to force regeneration
 
 MINI_GRID = datagen.GridSpec(G=2, T=2, w=16, h=16)
 
@@ -161,6 +161,24 @@ def build(out_dir: str = FIXTURE_DIR) -> str:
     px.to_parquet(os.path.join(out_dir, "mini_pixels.parquet"), index=False)
     planes.to_parquet(os.path.join(out_dir, "mini_planes.parquet"),
                       index=False)
+    # kNN side tables: deterministic query points + the exact polygon
+    # centroids the engine's polygon table carries (same float64 values,
+    # parquet round-trips them bit-exactly)
+    rng = np.random.default_rng(321)
+    x0, y0, x1, y1 = g.extent
+    nq = 25
+    pd.DataFrame({
+        "qid": [f"mq{i:03d}" for i in range(nq)],
+        "qx": rng.uniform(x0 - 100, x1 + 100, nq),
+        "qy": rng.uniform(y0 - 100, y1 + 100, nq),
+    }).to_parquet(os.path.join(out_dir, "mini_queries.parquet"),
+                  index=False)
+    pd.DataFrame({
+        "poly_id": [p["poly_id"] for p in polys],
+        "cx": [p["cx"] for p in polys],
+        "cy": [p["cy"] for p in polys],
+    }).to_parquet(os.path.join(out_dir, "mini_centroids.parquet"),
+                  index=False)
     with open(marker, "w") as f:
         f.write(_VERSION)
     return out_dir
@@ -179,6 +197,49 @@ def mini_drill(spark, sf_dir: str):
     res = drill(tiles, polygons, get_plugin("waterbodies_c3"), MINI_GRID,
                 partial=False)
     return res.select("poly_id", "ts", "px_wet", "pc_wet", "pc_missing")
+
+
+def mini_knn(spark, sf_dir: str):
+    """The cell-ring kNN (nearest polygon centroids, exactness guard +
+    brute fallback) over the fixture — exact-checked against a
+    brute-force SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from .operators.knn import knn_nearest
+    from .operators.textqa import round4
+
+    out = build()
+    queries = spark.read.parquet(os.path.join(out, "mini_queries.parquet"))
+    polygons = spark.createDataFrame(
+        datagen.polygons_pdf(_convex_polys()), schema=datagen.POLY_SCHEMA)
+    res = knn_nearest(queries, polygons, k=2, res=9, ring=1)
+    # 4-dp rounding on the OUTPUT value only (ranking runs on the raw
+    # distance): Spark's pow(x, 2) and SQL's x*x may differ in the last
+    # ulp, which the driver's value-hash would flag
+    return res.select("qid", "poly_id",
+                      round4(F.col("dist")).alias("dist"), "rank")
+
+
+def mini_knn_oracle_sql() -> str:
+    out = build()
+    q = os.path.join(out, "mini_queries.parquet")
+    c = os.path.join(out, "mini_centroids.parquet")
+    return f"""
+        WITH q AS (SELECT * FROM read_parquet('{q}')),
+        c AS (SELECT * FROM read_parquet('{c}')),
+        d AS (SELECT qid, poly_id,
+                     sqrt((qx - cx) * (qx - cx) + (qy - cy) * (qy - cy))
+                       AS dist
+              FROM q CROSS JOIN c),
+        r AS (SELECT qid, poly_id, dist,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY dist ASC, poly_id) AS rank
+              FROM d)
+        SELECT qid, poly_id,
+               floor(dist * 10000 + 0.5) / 10000.0 AS dist,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 2
+    """
 
 
 def mini_drill_oracle_sql() -> str:
