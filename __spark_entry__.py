@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": Q.docs_simhash,
         "docs_simhash_pairs": Q.docs_simhash_pairs,
         "docs_neardup_components": Q.docs_neardup_components,
+        "docs_dedup_corpus_keepset": Q.docs_dedup_corpus_keepset,
         "embedding_neardup": Q.embedding_neardup,
         # similarity search
         "embedding_label_centroids": Q.embedding_label_centroids,
@@ -693,11 +694,9 @@ def oracle_sql() -> dict[str, str]:
         FROM cand WHERE bit_count(xor(s1, s2)) <= 6
     """
 
-    # connected components of the same pair graph: recursive transitive
-    # closure + per-node minimum — the independent check of the engine's
-    # pointer-doubling min-label propagation (dedup.connected_components)
-    sql["docs_neardup_components"] = f"""
-        WITH RECURSIVE {_SIMHASH},
+    # shared graph fragment: simhash pair edges -> recursive transitive
+    # closure -> per-node component minimum
+    _CLOSURE = f"""
         bs(q, start, width) AS (VALUES {_blk_vals}),
         blk AS (SELECT doc_id, simhash, q,
                        (simhash >> start) & ((CAST(1 AS BIGINT) << width) - 1)
@@ -715,8 +714,52 @@ def oracle_sql() -> dict[str, str]:
           SELECT node, node FROM nodes
           UNION
           SELECT r.a, e.b FROM reach r JOIN bi e ON e.a = r.b
-        )
-        SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+        ),
+        comp AS (SELECT a AS node, MIN(b) AS component FROM reach
+                 GROUP BY a)
+    """
+
+    # connected components of the pair graph: the independent check of
+    # the engine's pointer-doubling min-label propagation
+    # (dedup.connected_components)
+    sql["docs_neardup_components"] = f"""
+        WITH RECURSIVE {_SIMHASH}, {_CLOSURE}
+        SELECT node, component FROM comp
+    """
+
+    # one-call corpus keep-set: components + keep-best-quality member
+    sql["docs_dedup_corpus_keepset"] = f"""
+        WITH RECURSIVE {_SIMHASH}, {_CLOSURE},
+        t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        m AS (
+          SELECT doc_id,
+                 floor((len(list_filter(toks, x -> x IN {_STOP}))
+                        / len(toks)) * 10000 + 0.5) / 10000.0 AS stop_ratio,
+                 floor((len(regexp_extract_all(text, '[.,!?;:]'))
+                        / length(text)) * 10000 + 0.5) / 10000.0
+                   AS punct_ratio,
+                 CAST(len(toks) AS INT) AS n_tokens
+          FROM t),
+        qual AS (
+          SELECT doc_id,
+                 floor((least(1.0, n_tokens / 100.0) * 0.5
+                        + stop_ratio * 0.3
+                        + greatest(0.0, 0.2 - punct_ratio)) * 10000 + 0.5)
+                   / 10000.0 AS quality
+          FROM m),
+        inc AS (SELECT c.node AS doc_id, c.component, qual.quality
+                FROM comp c JOIN qual ON qual.doc_id = c.node),
+        best AS (SELECT doc_id, component FROM (
+                   SELECT doc_id, component,
+                          ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY quality DESC, doc_id) AS rk
+                   FROM inc) WHERE rk = 1),
+        outside AS (SELECT d.doc_id, CAST(NULL AS BIGINT) AS component
+                    FROM documents d
+                    WHERE NOT EXISTS (SELECT 1 FROM comp
+                                      WHERE comp.node = d.doc_id))
+        SELECT doc_id, component FROM outside
+        UNION ALL SELECT doc_id, component FROM best
     """
 
     # tau mirrored from queries.embedding_neardup (0.35: non-vacuous on

@@ -455,6 +455,35 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
     return labels
 
 
+def dedup_corpus_near(docs: DataFrame, pairs: DataFrame,
+                      scratch_dir: str | None = None) -> DataFrame:
+    """End-to-end near-duplicate corpus dedup: resolve the pair graph
+    into TRANSITIVE components (:func:`connected_components`) and keep,
+    per component, the highest-quality member (ties: lowest doc_id) —
+    every document outside any component survives untouched.
+
+    Returns ``(doc_id, component)`` for the keep-set, ``component`` NULL
+    for documents with no near-duplicate.  This is the one-call corpus
+    keep-set a training-data pipeline applies before tokenisation: the
+    pair stage bounds candidates (LSH/SimHash blocking), the component
+    stage makes the drop decision transitive (a~b, b~c drops both b and
+    c even when a~c was never scored), and the quality ranking keeps the
+    best exemplar rather than the first-seen."""
+    from .textqa import quality_scores
+
+    labels = connected_components(pairs, scratch_dir=scratch_dir)
+    q = quality_scores(docs).select("doc_id", "quality")
+    j = labels.join(q, labels.node == q.doc_id).select(
+        "doc_id", "component", "quality")
+    w = W.partitionBy("component").orderBy(F.col("quality").desc(),
+                                           F.col("doc_id"))
+    best = (j.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1).select("doc_id", "component"))
+    outside = (docs.join(labels, docs.doc_id == labels.node, "left_anti")
+               .select("doc_id", F.lit(None).cast("long").alias("component")))
+    return outside.unionByName(best)
+
+
 def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Resolve near-dup pairs into a keep-set: drop every doc that appears
     as the larger id in a pair (union-find-free approximation that is exact

@@ -402,6 +402,15 @@ def docs_neardup_components(spark, sf):
             .select("node", "component"))
 
 
+def docs_dedup_corpus_keepset(spark, sf):
+    """One-call near-dup corpus dedup: SimHash pair graph -> transitive
+    components -> keep the best-quality member per component (plus every
+    doc with no near-duplicate)."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=6)
+    return dedup.dedup_corpus_near(docs, pairs)
+
+
 def embedding_neardup(spark, sf):
     # tau=0.35 keeps the driver's oracle gate NON-vacuous: the synthetic
     # embeddings tables top out at cosine ~0.47 (sf0.01) / ~0.51 (sf0.1)

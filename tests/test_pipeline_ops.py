@@ -561,3 +561,39 @@ def test_connected_components_many_rounds_no_stats_blowup(spark):
         got.setdefault(c, set()).add(n)
     assert sorted(map(sorted, got.values())) == \
         sorted(map(sorted, exp.values()))
+
+
+def test_dedup_corpus_near_transitive_keep_best(spark):
+    """a~b and b~c form one component even though a~c was never scored;
+    exactly one member survives and it is the best-quality one, while an
+    unrelated doc passes through with a NULL component."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # three near-identical docs: quality rises with the extra clause
+        (1, "the cat sat on the mat and looked around quietly."),
+        (2, "the cat sat on the mat and looked around quietly today, "
+            "and the sun was shining on the garden path for a while."),
+        (3, "the cat sat on the mat and looked around quietly today."),
+        (10, "completely unrelated content about spark shuffles and "
+             "partitions in a distributed engine."),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id1 long, id2 long")
+    out = dedup.dedup_corpus_near(docs, pairs).toPandas()
+    kept = set(out["doc_id"])
+    assert 10 in kept
+    survivors = kept - {10}
+    assert len(survivors) == 1  # transitive: one of {1,2,3}
+    # doc 2 has the most tokens -> highest quality under the heuristic
+    from dea_conflux_spark.operators import textqa
+    q = {r["doc_id"]: r["quality"]
+         for r in textqa.quality_scores(docs).collect()}
+    best = max((q[i], -i) for i in (1, 2, 3))
+    assert survivors == {-best[1]}
+    comp = out.set_index("doc_id")["component"]
+    assert pd.isna(comp[10])
+    assert comp[next(iter(survivors))] == 1  # component min label
