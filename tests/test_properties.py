@@ -93,3 +93,26 @@ def test_polygon_cover_is_superset(seed):
     for x, y in pts[inside]:
         base = int(cells.cell_of(x, y, 13))
         assert ({base} | set(cells.ancestors(base))) & covset
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_plugin_raw_path_identical_to_generic(seed):
+    """partials_grouped_raw (the per-tile hot path: owner-sorted gather +
+    slice-local counts) must be bit-identical to transform() +
+    partials_grouped() for arbitrary tiles and owner rasters — the
+    invariant every drill-UDF optimisation round leans on."""
+    from dea_conflux_spark.plugins import get_plugin
+
+    rng = np.random.default_rng(seed)
+    h = w = int(rng.integers(4, 48))
+    raw = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    n_cands = int(rng.integers(1, 12))
+    owner = rng.integers(-1, n_cands, (h, w)).astype(np.int32)
+    ords = list(range(n_cands))
+    for name in ("waterbodies_c3", "sum_wet"):
+        plugin = get_plugin(name)
+        got = plugin.partials_grouped_raw(raw, owner, ords, scratch={})
+        exp = plugin.partials_grouped(plugin.transform(raw), owner, ords,
+                                      scratch={})
+        assert got == exp, (name, got, exp)
