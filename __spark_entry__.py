@@ -101,6 +101,18 @@ def _mini_drill(spark, sf_dir):
     return minidrill.mini_drill(spark, sf_dir)
 
 
+def _mini_drill_cogrouped(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_drill(spark, sf_dir, mode="cogrouped")
+
+
+def _mini_drill_salted(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_drill(spark, sf_dir, mode="salted")
+
+
 def _mini_knn(spark, sf_dir):
     from dea_conflux_spark import minidrill
 
@@ -166,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks — convex polygons drill as half-plane SQL, centroid kNN
         # as brute-force SQL (minidrill.py)
         "mini_drill": _mini_drill,
+        "mini_drill_cogrouped": _mini_drill_cogrouped,
+        "mini_drill_salted": _mini_drill_salted,
         "mini_knn": _mini_knn,
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
@@ -793,7 +807,11 @@ def oracle_sql() -> dict[str, str]:
 
     from dea_conflux_spark import minidrill
 
+    # every drill execution strategy answers to the SAME second-engine
+    # oracle (joined / Exchange-free cogroup / salted shuffle-hash cover)
     sql["mini_drill"] = minidrill.mini_drill_oracle_sql()
+    sql["mini_drill_cogrouped"] = sql["mini_drill"]
+    sql["mini_drill_salted"] = sql["mini_drill"]
     sql["mini_knn"] = minidrill.mini_knn_oracle_sql()
 
     return sql

@@ -184,18 +184,31 @@ def build(out_dir: str = FIXTURE_DIR) -> str:
     return out_dir
 
 
-def mini_drill(spark, sf_dir: str):
+def mini_drill(spark, sf_dir: str, mode: str = "joined"):
     """The flagship waterbodies drill over the fixture tiles — compared
-    row-for-row against the half-plane SQL oracle by the driver gate."""
-    from .operators.drill import drill
+    row-for-row against the half-plane SQL oracle by the driver gate.
+
+    ``mode`` selects the physical strategy under the SAME oracle:
+    ``"joined"`` (broadcast-candidate), ``"cogrouped"`` (Exchange-free
+    huge-layer cogroup), or ``"salted"`` (salted shuffle-hash cover
+    join, the no-broadcast cover path) — every execution strategy must
+    agree with the second engine, not just with each other."""
+    from .operators.drill import drill, drill_cogrouped
     from .plugins import get_plugin
 
     out = build()
     tiles = spark.read.parquet(os.path.join(out, "mini_tiles.parquet"))
     polygons = spark.createDataFrame(
         datagen.polygons_pdf(_convex_polys()), schema=datagen.POLY_SCHEMA)
-    res = drill(tiles, polygons, get_plugin("waterbodies_c3"), MINI_GRID,
-                partial=False)
+    plugin = get_plugin("waterbodies_c3")
+    if mode == "cogrouped":
+        res = drill_cogrouped(tiles, polygons, plugin, MINI_GRID,
+                              partial=False)
+    elif mode == "salted":
+        res = drill(tiles, polygons, plugin, MINI_GRID, partial=False,
+                    broadcast_cover=False)
+    else:
+        res = drill(tiles, polygons, plugin, MINI_GRID, partial=False)
     return res.select("poly_id", "ts", "px_wet", "pc_wet", "pc_missing")
 
 
