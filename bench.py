@@ -358,7 +358,11 @@ def run_docs_scaled(spark, sf_dir: str, rep: int) -> dict:
     names = ["doc_token_counts", "docs_exact_dedup",
              "docs_ngram_jaccard_pairs", "docs_minhash_rows",
              "docs_simhash", "docs_minhash_lsh_pairs", "docs_simhash_pairs",
-             "doc_tfidf_top_terms"]
+             "doc_tfidf_top_terms",
+             # iterative transitive components over the 100k-doc pair
+             # graph (~73k nodes): the round-4 stats-blowup fix made this
+             # measurable at all
+             "docs_neardup_components"]
     docs_dir = ensure_docs_scaled(spark, sf_dir, rep)
     spark.read.parquet(f"{docs_dir}/documents.parquet").count()  # warm
     qs = em.queries()
