@@ -597,3 +597,17 @@ def test_dedup_corpus_near_transitive_keep_best(spark):
     comp = out.set_index("doc_id")["component"]
     assert pd.isna(comp[10])
     assert comp[next(iter(survivors))] == 1  # component min label
+
+
+def test_dedup_corpus_near_empty_pair_graph(spark):
+    """No near-dup pairs: every document passes through with a NULL
+    component (the CC round loop must handle an empty edge table)."""
+    docs = spark.createDataFrame(
+        [(1, "one text here", "en", "s", 13),
+         (2, "another text here", "en", "s", 17)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    pairs = spark.createDataFrame([], "id1 long, id2 long")
+    out = dedup.dedup_corpus_near(docs, pairs).toPandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+    assert out["component"].isna().all()
