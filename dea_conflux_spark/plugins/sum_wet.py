@@ -39,14 +39,16 @@ class SumWet(DrillSpec):
                              ordinals: list,
                              scratch: dict | None = None) -> dict:
         # bit-identical to transform()+partials_grouped(): wet iff the
-        # raw byte equals 128 — no float band needed
+        # raw byte equals 128 — owner-sorted gather + slice counts, no
+        # float band and no per-element bincount (see base.owner_segments)
         oi = base.owner_index(owner, scratch)
         if not oi:
             return {}
-        sel, idx, lo, nb, _n_px, nz = oi
-        wet = raw.ravel()[sel] == 128
-        n_wet = np.bincount(idx[wet], minlength=nb)
-        return {o + lo: (int(n_wet[o]),) for o in nz}
+        lo = oi[2]
+        gix, segs = base.owner_segments(oi, scratch)
+        wet = raw.ravel()[gix] == 128
+        cnz = np.count_nonzero
+        return {o + lo: (int(cnz(wet[a:b])),) for o, a, b in segs}
 
     def final_aggs(self):
         from pyspark.sql import functions as F

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import base
 from .base import DrillSpec
 
 FLAGS = {
@@ -50,6 +51,25 @@ class WoFlags(DrillSpec):
         iv = v[~np.isnan(v)].astype(np.int64)
         return (nan_sum, *[int(((iv & (1 << bit)) > 0).sum())
                            for bit in self.FLAGS.values()])
+
+    def partials_grouped_raw(self, raw, owner: np.ndarray,
+                             ordinals: list,
+                             scratch: dict | None = None) -> dict:
+        # bit-identical to transform()+partials_grouped(): the float band
+        # is the uint8 payload upcast (never NaN -> nan_sum is always 0),
+        # so each flag count is a boolean pass over the owner-sorted
+        # gathered bytes + slice-local counts — replaces the generic
+        # per-ordinal O(cands x pixels) mask loop
+        oi = base.owner_index(owner, scratch)
+        if not oi:
+            return {}
+        lo = oi[2]
+        gix, segs = base.owner_segments(oi, scratch)
+        vv = raw.ravel()[gix]
+        flags = [(vv & (1 << bit)) > 0 for bit in self.FLAGS.values()]
+        cnz = np.count_nonzero
+        return {o + lo: (0, *[int(cnz(fl[a:b])) for fl in flags])
+                for o, a, b in segs}
 
     def final_aggs(self):
         from pyspark.sql import functions as F

@@ -110,7 +110,8 @@ def test_plugin_raw_path_identical_to_generic(seed):
     n_cands = int(rng.integers(1, 12))
     owner = rng.integers(-1, n_cands, (h, w)).astype(np.int32)
     ords = list(range(n_cands))
-    for name in ("waterbodies_c3", "sum_wet"):
+    for name in ("waterbodies_c3", "sum_wet", "ga_ls_wo_3_flags",
+                 "wofs_albers_flags"):
         plugin = get_plugin(name)
         got = plugin.partials_grouped_raw(raw, owner, ords, scratch={})
         exp = plugin.partials_grouped(plugin.transform(raw), owner, ords,
