@@ -119,6 +119,12 @@ def _mini_knn(spark, sf_dir):
     return minidrill.mini_knn(spark, sf_dir)
 
 
+def _mini_wit(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_wit(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # aggregations / scans
@@ -180,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mini_drill": _mini_drill,
         "mini_drill_cogrouped": _mini_drill_cogrouped,
         "mini_drill_salted": _mini_drill_salted,
+        "mini_wit": _mini_wit,
         "mini_knn": _mini_knn,
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
@@ -813,5 +820,6 @@ def oracle_sql() -> dict[str, str]:
     sql["mini_drill_cogrouped"] = sql["mini_drill"]
     sql["mini_drill_salted"] = sql["mini_drill"]
     sql["mini_knn"] = minidrill.mini_knn_oracle_sql()
+    sql["mini_wit"] = minidrill.mini_wit_oracle_sql()
 
     return sql

@@ -35,7 +35,7 @@ from .core import codec, geom
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench_data", "mini_drill")
-_VERSION = "v2"  # bump to force regeneration
+_VERSION = "v3"  # bump to force regeneration
 
 MINI_GRID = datagen.GridSpec(G=2, T=2, w=16, h=16)
 
@@ -95,6 +95,32 @@ def _pixel_values(ts_idx: int, gx: int, gy: int) -> np.ndarray:
     arr = np.where(r < 0.40, 128, 0).astype(np.uint8)
     arr[r > 0.98] = 2
     return arr
+
+
+_WIT_PX_BANDS = ["water", "nbart_blue", "nbart_green", "nbart_red",
+                 "nbart_nir", "nbart_swir_1", "nbart_swir_2",
+                 "bs", "pv", "npv"]
+
+
+def _wit_band_values(ts_idx: int, gx: int, gy: int) -> dict:
+    """Deterministic WIT multiband planes: WOfS bitfield with sparse mask
+    bits (~96% clear so every polygon keeps n_mask > 0), reflectance
+    spanning the TCW > -350 threshold, fractional cover 0..120."""
+    rng = np.random.default_rng([888, ts_idx, gx, gy])
+    h, w = MINI_GRID.h, MINI_GRID.w
+    water = np.zeros((h, w), dtype=np.uint8)
+    water |= (rng.random((h, w)) < 0.02).astype(np.uint8) << 1  # noncontig
+    water |= (rng.random((h, w)) < 0.02).astype(np.uint8) << 6  # cloud
+    water |= (rng.random((h, w)) < 0.30).astype(np.uint8) << 7  # open water
+    bands = {"water": water}
+    for b in ("nbart_blue", "nbart_green", "nbart_red", "nbart_nir"):
+        bands[b] = rng.integers(0, 3000, (h, w)).astype(np.int16)
+    for b in ("nbart_swir_1", "nbart_swir_2"):
+        # SWIR drives TCW negative; keep the -350 threshold in play
+        bands[b] = rng.integers(0, 1500, (h, w)).astype(np.int16)
+    for b in ("bs", "pv", "npv"):
+        bands[b] = rng.integers(0, 121, (h, w)).astype(np.uint8)
+    return bands
 
 
 def build(out_dir: str = FIXTURE_DIR) -> str:
@@ -161,6 +187,53 @@ def build(out_dir: str = FIXTURE_DIR) -> str:
     px.to_parquet(os.path.join(out_dir, "mini_pixels.parquet"), index=False)
     planes.to_parquet(os.path.join(out_dir, "mini_planes.parquet"),
                       index=False)
+    # WIT multiband twin of the fixture: the same pixel grid encoded as
+    # multiraw engine tiles AND exploded per band for the SQL oracle
+    from .plugins.wit import WIT_BANDS
+
+    wit_tile_rows, wit_px_rows = [], []
+    px_id = 0
+    for ts_idx in range(g.T):
+        for gy in range(g.G):
+            for gx in range(g.G):
+                bands = _wit_band_values(ts_idx, gx, gy)
+                iid = datagen.image_id(ts_idx, gx, gy)
+                wit_tile_rows.append({
+                    "image_id": iid,
+                    "bytes": codec.encode_bands(bands, WIT_BANDS),
+                    "w": np.int32(g.w), "h": np.int32(g.h),
+                    "fmt": "multiraw", "caption": f"mini wit {iid}",
+                    "phash": np.int64(codec.phash64(bands["water"])),
+                })
+                x0, y0 = g.tile_origin(gx, gy)
+                xs = x0 + (np.arange(g.w) + 0.5) * g.px_res
+                ys = y0 + (np.arange(g.h) + 0.5) * g.px_res
+                xx, yy = np.meshgrid(xs, ys)
+                n = g.w * g.h
+                row = {
+                    "px_id": np.arange(px_id, px_id + n, dtype=np.int64),
+                    "ts_idx": np.int32(ts_idx),
+                    "x": xx.ravel(), "y": yy.ravel(),
+                }
+                for b in _WIT_PX_BANDS:
+                    row[b] = bands[b].ravel().astype(np.int32)
+                wit_px_rows.append(pd.DataFrame(row))
+                px_id += n
+    pd.DataFrame(wit_tile_rows).to_parquet(
+        os.path.join(out_dir, "mini_wit_tiles.parquet"), index=False)
+    wit_px = pd.concat(wit_px_rows, ignore_index=True)
+    # same pixel order as the WOfS table, so `owner` aligns positionally:
+    # assert every (poly, ts) keeps n_mask > 0 (the WIT NaN branch never
+    # fires -> both engines stay in exact integer-count + one-division
+    # territory, means 4-dp rounded)
+    wmask = (wit_px.water.values & 0b01100011) == 0
+    for o in sorted(pid_of):
+        for ts in range(g.T):
+            m = (owner == o) & (wit_px.ts_idx.values == ts)
+            assert (wmask & m).sum() > 0, (pid_of[o], ts)
+    wit_px.to_parquet(
+        os.path.join(out_dir, "mini_wit_pixels.parquet"), index=False)
+
     # kNN side tables: deterministic query points + the exact polygon
     # centroids the engine's polygon table carries (same float64 values,
     # parquet round-trips them bit-exactly)
@@ -210,6 +283,80 @@ def mini_drill(spark, sf_dir: str, mode: str = "joined"):
     else:
         res = drill(tiles, polygons, plugin, MINI_GRID, partial=False)
     return res.select("poly_id", "ts", "px_wet", "pc_wet", "pc_missing")
+
+
+def mini_wit(spark, sf_dir: str):
+    """The WIT 10-band drill (Tasseled Cap Wetness + masking + zonal
+    means) over the fixture's multiband tiles — exact-checked against the
+    per-band pixel table in SQL.  Means are 4-dp rounded on both sides
+    (summation order differs between numpy partials and SQL SUM);
+    pc_missing is an exact integer-count division."""
+    from pyspark.sql import functions as F
+
+    from .operators.drill import drill
+    from .operators.textqa import round4
+    from .plugins import get_plugin
+
+    out = build()
+    tiles = spark.read.parquet(os.path.join(out, "mini_wit_tiles.parquet"))
+    polygons = spark.createDataFrame(
+        datagen.polygons_pdf(_convex_polys()), schema=datagen.POLY_SCHEMA)
+    res = drill(tiles, polygons, get_plugin("wit_ls9"), MINI_GRID,
+                partial=False)
+    cols = [round4(F.col(b)).alias(b)
+            for b in ("water", "wet", "bs", "pv", "npv")]
+    return res.select("poly_id", "ts", *cols, "pc_missing")
+
+
+def mini_wit_oracle_sql() -> str:
+    out = build()
+    px = os.path.join(out, "mini_wit_pixels.parquet")
+    pl = os.path.join(out, "mini_planes.parquet")
+    tcw = ("0.0315 * nbart_blue + 0.2021 * nbart_green + "
+           "0.3102 * nbart_red + 0.1594 * nbart_nir "
+           "- 0.6806 * nbart_swir_1 - 0.6109 * nbart_swir_2")
+    r4 = "floor(({x}) * 10000 + 0.5) / 10000.0"
+    n_mask = "SUM(CASE WHEN mask THEN 1 ELSE 0 END)"
+    means = ", ".join(
+        r4.format(x=f"SUM({v}) / {n_mask}") + f" AS {name}"
+        for name, v in [
+            ("water", "CASE WHEN mask AND ow THEN 1.0 ELSE 0.0 END"),
+            ("wet", "CASE WHEN mask AND NOT ow AND wetb THEN 1.0 "
+                    "ELSE 0.0 END"),
+            ("bs", "CASE WHEN mask AND NOT ow AND NOT wetb "
+                   "THEN bs / 100.0 ELSE 0.0 END"),
+            ("pv", "CASE WHEN mask AND NOT ow AND NOT wetb "
+                   "THEN pv / 100.0 ELSE 0.0 END"),
+            ("npv", "CASE WHEN mask AND NOT ow AND NOT wetb "
+                    "THEN npv / 100.0 ELSE 0.0 END"),
+        ])
+    return f"""
+        WITH px AS (SELECT * FROM read_parquet('{px}')),
+        pl AS (SELECT * FROM read_parquet('{pl}')),
+        inside AS (
+          SELECT p.px_id, pl.poly_id, pl.ordinal
+          FROM (SELECT px_id, x, y FROM px) p JOIN pl ON TRUE
+          GROUP BY p.px_id, p.x, p.y, pl.poly_id, pl.ordinal
+          HAVING bool_and(pl.a * p.x + pl.b * p.y <= pl.c)
+        ),
+        own AS (
+          SELECT px_id, arg_max(poly_id, ordinal) AS poly_id
+          FROM inside GROUP BY px_id
+        ),
+        v AS (
+          SELECT o.poly_id, p.ts_idx,
+                 (p.water & 99) = 0 AS mask,
+                 (p.water & 128) > 0 AS ow,
+                 ((p.water & 99) = 0 AND ({tcw}) > -350) AS wetb,
+                 p.bs, p.pv, p.npv
+          FROM own o JOIN px p USING (px_id)
+        )
+        SELECT poly_id,
+               TIMESTAMP '2020-01-01' + INTERVAL (ts_idx) DAY AS ts,
+               {means},
+               1.0 - CAST({n_mask} AS DOUBLE) / COUNT(*) AS pc_missing
+        FROM v GROUP BY 1, 2
+    """
 
 
 def mini_knn(spark, sf_dir: str):
