@@ -7,13 +7,16 @@ Default run:
      zonal agg) at local[$SPARK_GRAFT_CPUS] -> tiles/sec,
   3. times a set of headline relational/pipeline queries at
      $SPARK_GRAFT_SF_DIR,
-  4. runs the N-vs-4N scaling study (same job, same input, local[8] vs
-     local[32] subprocesses) and reports throughput at both plus
+  4. runs the scaling studies (same job, same input, fresh subprocesses,
+     best-of-3 per leg): the flagship drill at local[1/2/4/8/32] and the
+     compute-dense WIT 10-band drill at the north-rule N-vs-4N pair
+     (local[2] vs local[8]), reporting throughput per leg plus
      efficiency = (thr_4N / thr_N) / 4,
   5. prints ONE json line and rewrites BENCH/BASELINE.md.
 
-``python bench.py --drill-only --cpus 8`` is the subprocess entry used by
-the scaling study.
+``python bench.py --drill-only --cpus 8`` / ``--wit-drill-only`` are the
+subprocess entries used by the scaling studies; their results are cached
+in BENCH/scaling*.json (refresh with --force-scaling).
 """
 
 from __future__ import annotations
