@@ -268,19 +268,29 @@ def run_drill_wit(spark, path: str, warmup: bool = True,
             "tiles_per_sec": round(n_tiles / dt, 2)}
 
 
+def _run_leg(extra_args: list[str], cpus: int, repeat: int = 3) -> dict:
+    """One scaling-study subprocess leg; raises with the leg's stderr if
+    the subprocess failed or printed no result JSON (a silent IndexError
+    here used to mask the real error)."""
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *extra_args,
+         "--cpus", str(cpus), "--repeat", str(repeat)],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if r.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling leg {extra_args} --cpus {cpus} failed "
+            f"(rc={r.returncode}); stderr tail:\n{r.stderr[-4000:]}")
+    return json.loads(lines[-1])
+
+
 def wit_scaling_study(levels=(2, 8)) -> dict:
     """North-rule N->4N pair on the WIT drill: identical job + input at
     local[2] and local[8], fresh subprocesses, best-of-3 each."""
     out = {}
     for cpus in levels:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--wit-drill-only",
-             "--cpus", str(cpus), "--repeat", "3"],
-            capture_output=True, text=True, timeout=1800,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [ln for ln in r.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        out[f"local{cpus}"] = json.loads(line)
+        out[f"local{cpus}"] = _run_leg(["--wit-drill-only"], cpus)
     a, b = (out.get(f"local{c}") for c in levels)
     if a and b:
         out["efficiency_n_to_4n"] = round(
@@ -400,14 +410,7 @@ def scaling_study(path: str, levels=(1, 2, 4, 8, 32)) -> dict:
     cannot emulate."""
     out = {}
     for cpus in levels:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--drill-only",
-             "--cpus", str(cpus), "--repeat", "3"],
-            capture_output=True, text=True, timeout=1800,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [ln for ln in r.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        out[f"local{cpus}"] = json.loads(line)
+        out[f"local{cpus}"] = _run_leg(["--drill-only"], cpus)
 
     def thr(c):
         e = out.get(f"local{c}")
@@ -706,7 +709,29 @@ def main():
         "scaling_wit": scaling_wit,
     }
     write_baseline_md(result)
-    print(json.dumps(result))
+    # Full detail to a file; the driver's stdout capture window is finite
+    # and round 4's full-result line outgrew it (BENCH_r04 "parsed": null).
+    # The final stdout line is a compact headline carrying the driver
+    # contract fields (metric/value/unit/sf/queries) plus the scaling
+    # efficiencies — everything else lives in BENCH/bench_detail.json.
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/bench_detail.json", "w") as f:
+        json.dump(result, f, indent=1)
+    headline = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf_dir,
+        "cpus": args.cpus,
+        "n_tiles": drill["n_tiles"],
+        "tiles_per_sec": drill["tiles_per_sec"],
+        "queries": queries,
+        "scaling_eff_1_to_4": scaling.get("efficiency_1_to_4"),
+        "scaling_eff_2_to_8": scaling.get("efficiency_n_to_4n"),
+        "wit_scaling_eff_2_to_8": scaling_wit.get("efficiency_n_to_4n"),
+        "detail": "BENCH/bench_detail.json",
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
