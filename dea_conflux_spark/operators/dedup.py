@@ -332,6 +332,37 @@ def embedding_neardup_pairs(embeddings: DataFrame,
             .filter(F.col("cosine") >= tau))
 
 
+def _cc_scratch_base(spark) -> str:
+    """Default spill base for :func:`connected_components` when the caller
+    gives no ``scratch_dir``: the session checkpoint dir if one is set
+    (reachable by every executor — the cluster-safe choice), else a
+    driver-local temp dir, which is only valid when every executor shares
+    the driver's filesystem (``local[*]``) — any other master raises.
+    Either way the dir is removed at process exit (it backs the returned
+    DataFrame, so it must outlive the call)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    ckpt = spark.sparkContext.getCheckpointDir()
+    if ckpt:
+        base = f"{ckpt.rstrip('/')}/cc_labels_{uuid.uuid4().hex[:12]}"
+        # best-effort: only meaningful when the checkpoint dir is a
+        # local/shared posix path visible from the driver
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        return base
+    if not spark.sparkContext.master.startswith("local"):
+        raise ValueError(
+            "connected_components needs a spill location reachable by all "
+            "executors: call sc.setCheckpointDir(...) or pass scratch_dir "
+            f"(driver-local /tmp is wrong for master="
+            f"{spark.sparkContext.master})")
+    base = tempfile.mkdtemp(prefix="cc_labels_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 10,
                          strict: bool = True,
                          scratch_dir: str | None = None) -> DataFrame:
@@ -369,9 +400,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
       round boundary (the PeriodicCheckpointer pattern of iterative
       Spark algorithms): the scan's statistics reset to the real file
       size, bounding the within-round growth at n_jumps doublings of a
-      ~20-bit number.  ``scratch_dir`` overrides the spill location (use
-      a job-scoped checkpoint dir on a cluster); only the final round's
-      spill is kept — it backs the returned DataFrame.
+      ~20-bit number.
+
+    Each round runs exactly ONE action: the convergence probe is an
+    ``observe`` metric (count of labels that changed this round) folded
+    into the spill write, not a separate join-and-count over the label
+    table.
+
+    Spill location: ``scratch_dir`` if given, else the session's
+    checkpoint dir (``sc.setCheckpointDir`` — the cluster-safe choice:
+    every executor must reach the path), else a driver-local temp dir
+    (fine for ``local[*]``; on a multi-node master this raises).
+    Superseded rounds are deleted as soon as replaced; the final round's
+    parquet backs the returned DataFrame, so it is kept until process
+    exit and then removed by an ``atexit`` hook (skipped when the caller
+    supplied ``scratch_dir`` — caller-owned lifecycle).
     """
     import math
     import shutil
@@ -393,16 +436,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
     n_nodes = labels.count()
     n_jumps = max(1, math.ceil(math.log2(max(2, n_nodes))))
     spark = pairs.sparkSession
-    base = scratch_dir or tempfile.mkdtemp(prefix="cc_labels_")
+    base = scratch_dir or _cc_scratch_base(spark)
     prev_spill = None
     changed = 0
     for rnd in range(max_iter):
-        # candidate labels: own label plus the minimum neighbour label
+        # candidate labels: own label plus the minimum neighbour label;
+        # the round's starting label rides along as old_component so the
+        # convergence probe needs no second join against the old table
         neigh = (edges.join(labels, edges.b == labels.node)
                  .groupBy(F.col("a").alias("node"))
                  .agg(F.min("component").alias("nbr_min")))
         new_labels = (labels.join(neigh, "node", "left")
                       .select("node",
+                              F.col("component").alias("old_component"),
                               F.least("component",
                                       F.coalesce("nbr_min", "component"))
                               .alias("component")))
@@ -421,23 +467,27 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
                                    F.col("component").alias("_cc"))
             new_labels = (new_labels
                           .join(lk, new_labels.component == lk._cn, "left")
-                          .select("node",
+                          .select("node", "old_component",
                                   F.coalesce("_cc", "component")
                                   .alias("component"))
                           .localCheckpoint(eager=False))
-        # spill BEFORE the convergence probe: the round's
-        # (1 + n_jumps)-join lineage executes once, the probe reads the
-        # materialised result, and the parquet scan resets the size
-        # statistics (see docstring).  Previous rounds' spills are
-        # dropped as soon as superseded.
+        # spill = the round's single action: the (1 + n_jumps)-join
+        # lineage executes once, the parquet scan resets the size
+        # statistics (see docstring), and the convergence probe rides the
+        # same pass as an observed metric instead of a second
+        # join-and-count action.  Previous rounds' spills are dropped as
+        # soon as superseded.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_round{rnd}")
         spill = f"{base}/round{rnd}"
-        new_labels.write.mode("overwrite").parquet(spill)
-        new_labels = spark.read.parquet(spill)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
+        (new_labels
+         .observe(obs, F.sum((F.col("component") != F.col("old_component"))
+                             .cast("long")).alias("n_changed"))
+         .select("node", "component")
+         .write.mode("overwrite").parquet(spill))
+        changed = int(obs.get["n_changed"] or 0)
+        labels = spark.read.parquet(spill)
         if prev_spill:
             shutil.rmtree(prev_spill, ignore_errors=True)
         prev_spill = spill
