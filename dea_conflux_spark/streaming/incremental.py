@@ -111,13 +111,33 @@ def dedup_docs_stream(spark, docs_path: str, out_dir: str, checkpoint: str,
              .filter(F.col("rk") == 1).drop("rk"))
         from pyspark.errors import AnalysisException
 
+        _finish_pending_compaction(ledger)
         try:
             seen = (sess.read.parquet(ledger)
                     .filter(F.col("epoch") != int(epoch_id))
                     .select("fp"))
-            b = b.join(seen, "fp", "left_anti")
         except AnalysisException:
-            pass  # first batch: no ledger yet
+            # No ledger.  Either a true first batch (no output either), or
+            # an out_dir written before the fp-ledger scheme existed —
+            # without a bootstrap that upgrade case would be treated as a
+            # first batch and duplicates of every pre-upgrade doc would be
+            # re-accepted.  Rebuild the ledger once from the accepted
+            # output itself (idempotent: derived purely from output
+            # content, so a retried batch redoes the identical write).
+            seen = None
+            try:
+                prior = sess.read.parquet(out_dir)
+                fp0 = (F.col("fp") if "fp" in prior.columns
+                       else F.md5(norm_text(F.col("text"))))
+                (prior.select(fp0.alias("fp")).distinct()
+                 .withColumn("epoch", F.lit(-1).cast("long"))
+                 .write.mode("overwrite").partitionBy("epoch")
+                 .parquet(ledger))
+                seen = sess.read.parquet(ledger).select("fp")
+            except AnalysisException:
+                pass  # genuinely the first batch
+        if seen is not None:
+            b = b.join(seen, "fp", "left_anti")
         out = b.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
         # the novelty anti-join would otherwise run once per write below
         out = out.localCheckpoint(eager=True)
@@ -141,6 +161,24 @@ def dedup_docs_stream(spark, docs_path: str, out_dir: str, checkpoint: str,
     return writer.start()
 
 
+def _compact_tmp_dir(ledger: str) -> str:
+    return ledger.rstrip("/") + "__compact_new"
+
+
+def _finish_pending_compaction(ledger: str) -> None:
+    """Complete a compaction swap interrupted between the two renames: the
+    old ledger was moved aside but the compacted replacement was not yet
+    moved in.  The replacement (written + _SUCCESS before any rename
+    starts) becomes the ledger; without this the next batch would see no
+    ledger at all and silently re-accept duplicates."""
+    import os
+
+    tmp = _compact_tmp_dir(ledger)
+    if (not os.path.isdir(ledger) and os.path.isdir(tmp)
+            and os.path.exists(os.path.join(tmp, "_SUCCESS"))):
+        os.rename(tmp, ledger)
+
+
 def compact_fp_ledger(spark, out_dir: str) -> int:
     """Collapse the fingerprint ledger's per-epoch partitions into one
     ``epoch=-1`` base partition (run while the stream is stopped).
@@ -149,13 +187,38 @@ def compact_fp_ledger(spark, out_dir: str) -> int:
     per-batch file-listing cost stays flat no matter how long the stream
     has been running.  Batches only ever write epoch >= 0 and the
     novelty join only ever excludes the CURRENT epoch, so the base
-    partition is always visible to it.  Returns the distinct-fp count."""
+    partition is always visible to it.  Returns the distinct-fp count.
+
+    Crash safety: the ledger is the stream's only cross-batch dedup
+    state, so it is never overwritten in place (an in-place
+    ``mode('overwrite')`` deletes every fingerprint before rewriting —
+    a crash mid-write destroys the ledger; and under
+    ``partitionOverwriteMode='dynamic'`` it would keep the old epoch
+    partitions, defeating the O(1)-files goal).  Instead the compacted
+    data is fully written to a sibling dir first, then swapped in by two
+    directory renames; every crash window is recoverable — before the
+    first rename the old ledger is untouched, between the renames
+    :func:`_finish_pending_compaction` (called here and by every batch)
+    completes the swap, and the stream-side output bootstrap is a final
+    backstop.  At real deployment scale (object stores without atomic
+    rename) this role is played by an Iceberg/Delta MERGE/replace
+    commit."""
+    import os
+    import shutil
+
     ledger = fp_ledger_dir(out_dir)
+    _finish_pending_compaction(ledger)
+    tmp = _compact_tmp_dir(ledger)
+    old = ledger.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)  # stale attempt
+    shutil.rmtree(old, ignore_errors=True)
     fps = (spark.read.parquet(ledger).select("fp").distinct()
            .withColumn("epoch", F.lit(-1).cast("long")))
-    fps = fps.localCheckpoint(eager=True)  # read fully before overwrite
-    n = fps.count()
-    (fps.write.mode("overwrite").partitionBy("epoch").parquet(ledger))
+    fps.write.mode("overwrite").partitionBy("epoch").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    os.rename(ledger, old)
+    os.rename(tmp, ledger)
+    shutil.rmtree(old, ignore_errors=True)
     return n
 
 

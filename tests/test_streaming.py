@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from dea_conflux_spark import oracle
 from dea_conflux_spark.operators.ledger import finalize_drill
@@ -191,3 +192,70 @@ def test_compact_fp_ledger_keeps_dedup_and_bounds_partitions(spark,
     q.awaitTermination(120)
     got = spark.read.parquet(out).select("doc_id").toPandas()
     assert sorted(got["doc_id"]) == [1, 2, 3, 21]
+
+
+def test_dedup_docs_stream_bootstraps_ledger_from_output(spark, tmp_path):
+    """Upgrade path: an out_dir accepted by a pre-ledger scheme exists but
+    the fp ledger does not.  The first post-upgrade batch must bootstrap
+    the ledger from the output's fp column instead of treating the stream
+    as brand new — otherwise duplicates of every pre-upgrade doc are
+    silently re-accepted."""
+    import shutil
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _doc_wave(spark, src, [(1, "legacy text one"), (2, "legacy text two")])
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    # simulate the pre-upgrade deployment: accepted output, no fp ledger
+    shutil.rmtree(incremental.fp_ledger_dir(out))
+
+    _doc_wave(spark, src, [(10, "legacy text one"),  # dup of doc 1
+                           (11, "post upgrade fresh")])
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("doc_id").toPandas()
+    assert sorted(got["doc_id"]) == [1, 2, 11]
+    # the bootstrap left a real ledger behind (epoch=-1 base partition)
+    led = spark.read.parquet(incremental.fp_ledger_dir(out))
+    assert led.filter("epoch = -1").count() >= 2
+
+
+def test_compact_fp_ledger_crash_windows_are_recoverable(spark, tmp_path):
+    """The compaction swap is resumable across every crash window: the
+    worst one (old ledger moved aside, compacted replacement not yet
+    moved in) is repaired both by the next compact call and by the next
+    micro-batch, with no fingerprint loss."""
+    import os as _os
+    import shutil
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _doc_wave(spark, src, [(1, "crash aaa"), (2, "crash bbb")])
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    ledger = incremental.fp_ledger_dir(out)
+    tmp = incremental._compact_tmp_dir(ledger)
+    # reproduce the mid-swap crash state: compacted data fully written,
+    # old ledger renamed away, replacement rename never happened
+    fps = (spark.read.parquet(ledger).select("fp").distinct()
+           .withColumn("epoch", F.lit(-1).cast("long")))
+    fps.write.mode("overwrite").partitionBy("epoch").parquet(tmp)
+    shutil.move(ledger, ledger + "__compact_old")
+
+    # a batch arriving in this state repairs the swap and still dedups
+    _doc_wave(spark, src, [(10, "crash aaa"), (11, "post crash new")])
+    q = incremental.dedup_docs_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).select("doc_id").toPandas()
+    assert sorted(got["doc_id"]) == [1, 2, 11]
+    assert _os.path.isdir(ledger) and not _os.path.isdir(tmp)
+
+    # and a straight compact call on the repaired state works
+    assert incremental.compact_fp_ledger(spark, out) == 3
