@@ -120,36 +120,61 @@ def migrate_legacy_lineage(spark, lineage_dir: str) -> int:
     reads.  Each legacy root file is re-written under its batch partition
     (missing batch column -> batch 0) and then removed; already-partitioned
     subdirectories are left untouched.  Idempotent; returns the number of
-    legacy files migrated."""
+    legacy files migrated.
+
+    Resumable across crashes at every point: the migrated copy is fully
+    written (``_SUCCESS``) to a sibling temp dir before any legacy file
+    is removed, and a re-run that finds a COMPLETE temp dir first
+    finishes the pending remove+move (the temp copy covers every legacy
+    root file that still exists) instead of re-reading the root — so no
+    crash window can strand legacy rows in the orphaned temp dir."""
     import shutil
 
     if not os.path.isdir(lineage_dir):
         return 0
-    flat = [os.path.join(lineage_dir, f) for f in os.listdir(lineage_dir)
-            if f.endswith(".parquet")
-            and os.path.isfile(os.path.join(lineage_dir, f))]
+    tmp = lineage_dir.rstrip("/") + "__legacy_migration"
+
+    def flat_files():
+        return [os.path.join(lineage_dir, f)
+                for f in os.listdir(lineage_dir)
+                if f.endswith(".parquet")
+                and os.path.isfile(os.path.join(lineage_dir, f))]
+
+    def finish_move(flat):
+        # legacy root files are a subset of what tmp holds (tmp was
+        # completely written before the first remove) — drop them, then
+        # move/merge tmp's batch=<id> dirs next to post-upgrade ones
+        for f in flat:
+            os.remove(f)
+        for name in os.listdir(tmp):
+            if name.startswith("batch="):
+                dst = os.path.join(lineage_dir, name)
+                if os.path.exists(dst):  # collision: merge files into dst
+                    for part in os.listdir(os.path.join(tmp, name)):
+                        if part.endswith(".parquet"):
+                            os.rename(os.path.join(tmp, name, part),
+                                      os.path.join(dst, part))
+                else:
+                    os.rename(os.path.join(tmp, name), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        # a prior migration crashed after its temp write committed:
+        # complete the pending remove+move before looking at the root
+        flat = flat_files()
+        finish_move(flat)
+        return len(flat)
+
+    flat = flat_files()
     if not flat:
+        shutil.rmtree(tmp, ignore_errors=True)  # incomplete stale attempt
         return 0
     legacy = spark.read.parquet(*flat)
     if "batch" not in legacy.columns:
         legacy = legacy.withColumn("batch", F.lit(0).cast("int"))
-    tmp = lineage_dir.rstrip("/") + "__legacy_migration"
     shutil.rmtree(tmp, ignore_errors=True)
     legacy.write.mode("overwrite").partitionBy("batch").parquet(tmp)
-    for f in flat:
-        os.remove(f)
-    # move the migrated batch=<id> dirs in next to any post-upgrade ones
-    for name in os.listdir(tmp):
-        if name.startswith("batch="):
-            dst = os.path.join(lineage_dir, name)
-            if os.path.exists(dst):  # collision: merge files into dst
-                for part in os.listdir(os.path.join(tmp, name)):
-                    if part.endswith(".parquet"):
-                        os.rename(os.path.join(tmp, name, part),
-                                  os.path.join(dst, part))
-            else:
-                os.rename(os.path.join(tmp, name), dst)
-    shutil.rmtree(tmp, ignore_errors=True)
+    finish_move(flat)
     return len(flat)
 
 

@@ -245,3 +245,52 @@ def test_lineage_legacy_flat_layout_migrated(spark, tiles, polygons, grid,
     # the legacy row survived under batch=0 alongside the new batch rows
     assert "t9999_x999_y999" in set(lin["image_id"])
     assert len(lin[lin["image_id"] != "t9999_x999_y999"]) > 0
+
+
+def test_migrate_legacy_lineage_resumes_across_crash(spark, tmp_path):
+    """ADVICE round-4: the legacy-layout migration must be resumable at
+    every crash point.  The worst window — temp copy fully written
+    (_SUCCESS) but legacy root files not yet removed/moved — previously
+    stranded the legacy rows in the orphaned temp dir on re-run."""
+    import shutil
+
+    ldir = str(tmp_path / "lineage")
+    pdf = pd.DataFrame({"image_id": [f"t{i:04d}_x000_y000"
+                                     for i in range(6)],
+                        "n_polys": [1] * 6,
+                        "batch": [0, 0, 0, 1, 1, 1]})
+    # legacy flat layout: root parquet files, batch as a DATA column
+    spark.createDataFrame(pdf).coalesce(1).write.mode(
+        "append").parquet(ldir)
+    for f in os.listdir(ldir):  # flatten Spark's marker files away
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(ldir, f))
+
+    # reproduce the crash state: temp copy committed, root untouched
+    tmp = ldir + "__legacy_migration"
+    spark.read.parquet(ldir).write.mode("overwrite").partitionBy(
+        "batch").parquet(tmp)
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+
+    n = ledger.migrate_legacy_lineage(spark, ldir)
+    assert n == 1  # the one remaining root file was finished off
+    assert not os.path.isdir(tmp)
+    got = spark.read.parquet(ldir).toPandas()
+    assert len(got) == 6 and got["image_id"].is_unique
+    assert sorted(os.listdir(ldir)) == ["batch=0", "batch=1"]
+
+    # an INCOMPLETE temp dir (no _SUCCESS: crash mid-write) is discarded
+    # and the normal path re-migrates from the root
+    ldir2 = str(tmp_path / "lineage2")
+    spark.createDataFrame(pdf).coalesce(1).write.mode(
+        "append").parquet(ldir2)
+    for f in os.listdir(ldir2):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(ldir2, f))
+    tmp2 = ldir2 + "__legacy_migration"
+    os.makedirs(os.path.join(tmp2, "batch=0"))  # torn write, no _SUCCESS
+    n2 = ledger.migrate_legacy_lineage(spark, ldir2)
+    assert n2 == 1
+    got2 = spark.read.parquet(ldir2).toPandas()
+    assert len(got2) == 6 and got2["image_id"].is_unique
+    assert not os.path.isdir(tmp2)
