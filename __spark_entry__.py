@@ -119,6 +119,24 @@ def _mini_knn(spark, sf_dir):
     return minidrill.mini_knn(spark, sf_dir)
 
 
+def _mini_knn_shuffle(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_knn(spark, sf_dir, broadcast_index=False)
+
+
+def _mini_drill_flags(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_drill_flags(spark, sf_dir)
+
+
+def _mini_image_stats(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_image_stats(spark, sf_dir)
+
+
 def _mini_wit(spark, sf_dir):
     from dea_conflux_spark import minidrill
 
@@ -186,8 +204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mini_drill": _mini_drill,
         "mini_drill_cogrouped": _mini_drill_cogrouped,
         "mini_drill_salted": _mini_drill_salted,
+        "mini_drill_flags": _mini_drill_flags,
         "mini_wit": _mini_wit,
         "mini_knn": _mini_knn,
+        "mini_knn_shuffle": _mini_knn_shuffle,
+        "mini_image_stats": _mini_image_stats,
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
         "flagship_drill": _flagship_drill,
@@ -819,7 +840,12 @@ def oracle_sql() -> dict[str, str]:
     sql["mini_drill"] = minidrill.mini_drill_oracle_sql()
     sql["mini_drill_cogrouped"] = sql["mini_drill"]
     sql["mini_drill_salted"] = sql["mini_drill"]
+    # both kNN physical strategies (broadcast index / shuffle cell join)
+    # answer to the same brute-force oracle
     sql["mini_knn"] = minidrill.mini_knn_oracle_sql()
+    sql["mini_knn_shuffle"] = sql["mini_knn"]
     sql["mini_wit"] = minidrill.mini_wit_oracle_sql()
+    sql["mini_drill_flags"] = minidrill.mini_drill_flags_oracle_sql()
+    sql["mini_image_stats"] = minidrill.mini_image_stats_oracle_sql()
 
     return sql

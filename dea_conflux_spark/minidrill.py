@@ -35,7 +35,7 @@ from .core import codec, geom
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench_data", "mini_drill")
-_VERSION = "v3"  # bump to force regeneration
+_VERSION = "v5"  # bump to force regeneration
 
 MINI_GRID = datagen.GridSpec(G=2, T=2, w=16, h=16)
 
@@ -56,6 +56,11 @@ def _convex_polys() -> list:
         ("mini_rect_b", rect(100200.4, 100250.2, 100700.6, 100600.8)),
         ("mini_hex_c", hexagon),
         ("mini_rect_d", rect(100400.15, 100500.45, 100560.85, 100900.35)),
+        # overflows the grid extent's south-west corner: with the
+        # single-tile drill of mini_drill_flags it fires South+West while
+        # mini_rect_b fires North+East — all four direction flags and
+        # both corner-overflow cases are exercised
+        ("mini_rect_e", rect(99900.6, 99850.3, 100150.2, 100120.9)),
     ]
     polys = []
     for i, (pid, ring) in enumerate(shapes):
@@ -252,6 +257,16 @@ def build(out_dir: str = FIXTURE_DIR) -> str:
         "cy": [p["cy"] for p in polys],
     }).to_parquet(os.path.join(out_dir, "mini_centroids.parquet"),
                   index=False)
+    # bbox side table for the edge-flag oracle (same float64 values the
+    # engine's polygon table carries; parquet round-trips them bit-exact)
+    pd.DataFrame({
+        "poly_id": [p["poly_id"] for p in polys],
+        "xmin": [p["xmin"] for p in polys],
+        "ymin": [p["ymin"] for p in polys],
+        "xmax": [p["xmax"] for p in polys],
+        "ymax": [p["ymax"] for p in polys],
+    }).to_parquet(os.path.join(out_dir, "mini_bboxes.parquet"),
+                  index=False)
     with open(marker, "w") as f:
         f.write(_VERSION)
     return out_dir
@@ -359,10 +374,174 @@ def mini_wit_oracle_sql() -> str:
     """
 
 
-def mini_knn(spark, sf_dir: str):
+def mini_drill_flags(spark, sf_dir: str):
+    """The flagship drill in PARTIAL mode over ONE fixture tile: the
+    observed extent is then the (0,0) tile bbox, which ``mini_rect_b``
+    overflows to the North-East and ``mini_rect_e`` to the South-West
+    (both corner cases, all four directions fire) while ``mini_rect_a``
+    stays fully inside — so the ``conflux_n/s/e/w`` edge-direction flags
+    (reference drill.py:104-220) are exercised non-vacuously and checked
+    against an independent SQL implementation of the direction rule
+    (half-plane chord tests, see :func:`mini_drill_flags_oracle_sql`)."""
+    from pyspark.sql import functions as F
+
+    from .operators.drill import FLAG_COLS, drill
+    from .plugins import get_plugin
+
+    out = build()
+    tiles = (spark.read.parquet(os.path.join(out, "mini_tiles.parquet"))
+             .filter(F.col("image_id").endswith("_x000_y000")))
+    polygons = spark.createDataFrame(
+        datagen.polygons_pdf(_convex_polys()), schema=datagen.POLY_SCHEMA)
+    res = drill(tiles, polygons, get_plugin("waterbodies_c3"), MINI_GRID,
+                partial=True)
+    return res.select("poly_id", "ts", "px_wet", "pc_wet", "pc_missing",
+                      *FLAG_COLS)
+
+
+def mini_drill_flags_oracle_sql() -> str:
+    """SQL second engine for the edge-direction rule, independent of the
+    engine's clip-and-classify numpy path (core/geom.edge_directions).
+
+    For a CONVEX polygon the reference's rule — clip to the extent; a
+    clip-introduced horizontal boundary segment at the clipped shape's
+    max-y means North (min-y South), a vertical one at max-x East (min-x
+    West) — reduces to a chord test per extent side: the polygon
+    overflows North iff its bbox strictly straddles the extent's top line
+    (ymin < ry1 < ymax) AND its chord along ``y = ry1`` clipped to
+    ``[rx0, rx1]`` has positive length.  The chord of a convex polygon
+    along a line is computed directly from the stored half-planes:
+    each plane ``a*x + b*y <= c`` at ``y = Y`` bounds x above (a > 0),
+    below (a < 0), or is a feasibility test (a = 0)."""
+    out = build()
+    px = os.path.join(out, "mini_pixels.parquet")
+    pl = os.path.join(out, "mini_planes.parquet")
+    bb = os.path.join(out, "mini_bboxes.parquet")
+    g = MINI_GRID
+    rx0, ry0 = g.x_off, g.y_off
+    rx1 = g.x_off + g.tile_span_x  # the (0,0) tile only
+    ry1 = g.y_off + g.tile_span_y
+
+    def chord(side, horizontal, fixed, lo, hi):
+        # positive-length chord of the convex polygon along the side's
+        # line, clipped to the extent's [lo, hi] range of the free axis
+        if horizontal:
+            bound, sign, feas = f"(c - b*{fixed})/a", "a", f"b*{fixed} <= c"
+        else:
+            bound, sign, feas = f"(c - a*{fixed})/b", "b", f"a*{fixed} <= c"
+        return (
+            f"ch_{side} AS (SELECT poly_id, "
+            f"LEAST({hi}, COALESCE(MIN(CASE WHEN {sign} > 0 THEN {bound} "
+            f"END), {hi})) > "
+            f"GREATEST({lo}, COALESCE(MAX(CASE WHEN {sign} < 0 THEN "
+            f"{bound} END), {lo})) "
+            f"AND BOOL_AND(CASE WHEN {sign} = 0 THEN {feas} ELSE TRUE "
+            f"END) AS pos_{side} FROM pl GROUP BY poly_id)")
+
+    return f"""
+        WITH px AS (SELECT * FROM read_parquet('{px}')
+                    WHERE x < {rx1} AND y < {ry1}),
+        pl AS (SELECT * FROM read_parquet('{pl}')),
+        bb AS (SELECT * FROM read_parquet('{bb}')),
+        {chord('n', True, ry1, rx0, rx1)},
+        {chord('s', True, ry0, rx0, rx1)},
+        {chord('e', False, rx1, ry0, ry1)},
+        {chord('w', False, rx0, ry0, ry1)},
+        flags AS (
+          SELECT bb.poly_id,
+                 bb.ymax > {ry1} AND bb.ymin < {ry1} AND pos_n AS conflux_n,
+                 bb.ymin < {ry0} AND bb.ymax > {ry0} AND pos_s AS conflux_s,
+                 bb.xmax > {rx1} AND bb.xmin < {rx1} AND pos_e AS conflux_e,
+                 bb.xmin < {rx0} AND bb.xmax > {rx0} AND pos_w AS conflux_w
+          FROM bb JOIN ch_n USING (poly_id) JOIN ch_s USING (poly_id)
+                  JOIN ch_e USING (poly_id) JOIN ch_w USING (poly_id)
+        ),
+        inside AS (
+          SELECT px.px_id, px.ts_idx, px.val, pl.poly_id, pl.ordinal
+          FROM px JOIN pl ON TRUE
+          GROUP BY px.px_id, px.ts_idx, px.val, pl.poly_id, pl.ordinal
+          HAVING bool_and(pl.a * px.x + pl.b * px.y <= pl.c)
+        ),
+        own AS (
+          SELECT px_id, ts_idx, val,
+                 arg_max(poly_id, ordinal) AS poly_id
+          FROM inside GROUP BY px_id, ts_idx, val
+        ),
+        agg AS (
+          SELECT poly_id,
+                 TIMESTAMP '2020-01-01' + INTERVAL (ts_idx) DAY AS ts,
+                 COUNT(*) AS n_px,
+                 SUM(CASE WHEN (val & 243) NOT IN (0, 128)
+                     THEN 1 ELSE 0 END) AS n_missing,
+                 SUM(CASE WHEN (val & 243) = 128 THEN 1 ELSE 0 END) AS n_wet
+          FROM own GROUP BY 1, 2
+        )
+        SELECT agg.poly_id, ts,
+               CASE WHEN n_missing / n_px <= 0.1
+                    THEN CAST(n_wet AS DOUBLE)
+                    ELSE CAST('nan' AS DOUBLE) END AS px_wet,
+               CASE WHEN n_missing / n_px <= 0.1
+                    THEN n_wet / n_px
+                    ELSE CAST('nan' AS DOUBLE) END AS pc_wet,
+               n_missing / n_px AS pc_missing,
+               conflux_n, conflux_s, conflux_e, conflux_w
+        FROM agg JOIN flags ON agg.poly_id = flags.poly_id
+    """
+
+
+def mini_image_stats(spark, sf_dir: str):
+    """The multimodal ``image_stats`` feature-extraction pass (decode
+    inside the Arrow batch -> per-image scalars) over the fixture tiles —
+    exact-checked against the relational pixel table.  Mean and wet-bit
+    fraction are exact (integer sums + one IEEE division); std is 4-dp
+    rounded on both sides (numpy's two-pass vs SQL's moment formula
+    differ in the last ulp)."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import image_stats
+    from .operators.textqa import round4
+
+    out = build()
+    tiles = spark.read.parquet(os.path.join(out, "mini_tiles.parquet"))
+    res = image_stats(tiles)
+    return res.select("image_id", "px_mean", round4(F.col("px_std"))
+                      .alias("px_std"), "px_min", "px_max", "wet_frac")
+
+
+def mini_image_stats_oracle_sql() -> str:
+    out = build()
+    px = os.path.join(out, "mini_pixels.parquet")
+    g = MINI_GRID
+    return f"""
+        WITH px AS (
+          SELECT printf('t%04d_x%03d_y%03d', ts_idx,
+                        CAST(floor((x - {g.x_off}) / {g.tile_span_x})
+                             AS INT),
+                        CAST(floor((y - {g.y_off}) / {g.tile_span_y})
+                             AS INT)) AS image_id,
+                 val
+          FROM read_parquet('{px}')
+        )
+        SELECT image_id,
+               SUM(val) / COUNT(*) AS px_mean,
+               floor(sqrt(SUM(CAST(val AS DOUBLE) * val) / COUNT(*)
+                          - (SUM(val) / COUNT(*))
+                            * (SUM(val) / COUNT(*))) * 10000 + 0.5)
+                 / 10000.0 AS px_std,
+               CAST(MIN(val) AS INT) AS px_min,
+               CAST(MAX(val) AS INT) AS px_max,
+               SUM(CASE WHEN (val & 128) > 0 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*) AS wet_frac
+        FROM px GROUP BY image_id
+    """
+
+
+def mini_knn(spark, sf_dir: str, broadcast_index=True):
     """The cell-ring kNN (nearest polygon centroids, exactness guard +
     brute fallback) over the fixture — exact-checked against a
-    brute-force SQL oracle."""
+    brute-force SQL oracle.  ``broadcast_index=False`` exercises the
+    shuffle-join scale path (the plan a layer too large to broadcast
+    would run) under the SAME oracle."""
     from pyspark.sql import functions as F
 
     from .operators.knn import knn_nearest
@@ -372,7 +551,8 @@ def mini_knn(spark, sf_dir: str):
     queries = spark.read.parquet(os.path.join(out, "mini_queries.parquet"))
     polygons = spark.createDataFrame(
         datagen.polygons_pdf(_convex_polys()), schema=datagen.POLY_SCHEMA)
-    res = knn_nearest(queries, polygons, k=2, res=9, ring=1)
+    res = knn_nearest(queries, polygons, k=2, res=9, ring=1,
+                      broadcast_index=broadcast_index)
     # 4-dp rounding on the OUTPUT value only (ranking runs on the raw
     # distance): Spark's pow(x, 2) and SQL's x*x may differ in the last
     # ulp, which the driver's value-hash would flag

@@ -273,7 +273,7 @@ def test_mini_drill_fixture_matches_duckdb_oracle(spark):
            .reset_index(drop=True))
     exp = (duckdb.connect().execute(minidrill.mini_drill_oracle_sql()).df()
            .sort_values(["poly_id", "ts"]).reset_index(drop=True))
-    assert len(got) == 8
+    assert len(got) == 10  # 5 fixture polygons x 2 timesteps
     pd.testing.assert_frame_equal(
         got.astype({"ts": "datetime64[ns]"}),
         exp.astype({"ts": "datetime64[ns]"}))
