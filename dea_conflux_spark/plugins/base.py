@@ -62,6 +62,19 @@ def owner_segments(oi, scratch: dict | None = None):
     return segs
 
 
+def full_tile_segment(size: int, seg_list: list):
+    """``(owner_value_rebased, n)`` when ONE owner covers the WHOLE tile
+    (the huge-polygon interior fast path): the owner-sorted gather would
+    be a pure copy, so bitfield plugins run their boolean passes
+    full-width over the raw bytes instead (~0.2 ns/elem SIMD vs
+    ~1 ns/elem gather).  ``None`` otherwise — sparse single-owner tiles
+    stay on the gather path, where a small gather beats full-width
+    passes."""
+    if len(seg_list) == 1 and seg_list[0][2] - seg_list[0][1] == size:
+        return seg_list[0][0], size
+    return None
+
+
 class DrillSpec:
     """A drill plugin.
 

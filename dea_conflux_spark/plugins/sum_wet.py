@@ -46,8 +46,12 @@ class SumWet(DrillSpec):
             return {}
         lo = oi[2]
         gix, segs = base.owner_segments(oi, scratch)
-        wet = raw.ravel()[gix] == 128
         cnz = np.count_nonzero
+        full = base.full_tile_segment(owner.size, segs)
+        if full is not None:
+            o, _n = full
+            return {o + lo: (int(cnz(raw.ravel() == 128)),)}
+        wet = raw.ravel()[gix] == 128
         return {o + lo: (int(cnz(wet[a:b])),) for o, a, b in segs}
 
     def final_aggs(self):

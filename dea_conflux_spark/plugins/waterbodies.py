@@ -72,11 +72,18 @@ class WaterbodiesC3(DrillSpec):
             return {}
         lo = oi[2]
         gix, segs = base.owner_segments(oi, scratch)
+        cnz = np.count_nonzero
+        full = base.full_tile_segment(owner.size, segs)
+        if full is not None:
+            o, n = full
+            wofl = raw.ravel() & 0b11110011
+            wet = wofl == 128
+            ok = wet | (wofl == 0)
+            return {o + lo: (n, n - int(cnz(ok)), int(cnz(wet)))}
         vv = raw.ravel()[gix]
         wofl = vv & 0b11110011
         wet = wofl == 128
         ok = wet | (wofl == 0)
-        cnz = np.count_nonzero
         return {o + lo: (b - a, (b - a) - int(cnz(ok[a:b])),
                          int(cnz(wet[a:b])))
                 for o, a, b in segs}

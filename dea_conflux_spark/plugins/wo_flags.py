@@ -65,9 +65,15 @@ class WoFlags(DrillSpec):
             return {}
         lo = oi[2]
         gix, segs = base.owner_segments(oi, scratch)
+        cnz = np.count_nonzero
+        full = base.full_tile_segment(owner.size, segs)
+        if full is not None:
+            o, _n = full
+            flat = raw.ravel()
+            return {o + lo: (0, *[int(cnz(flat & (1 << bit)))
+                                  for bit in self.FLAGS.values()])}
         vv = raw.ravel()[gix]
         flags = [(vv & (1 << bit)) > 0 for bit in self.FLAGS.values()]
-        cnz = np.count_nonzero
         return {o + lo: (0, *[int(cnz(fl[a:b])) for fl in flags])
                 for o, a, b in segs}
 

@@ -110,10 +110,15 @@ def test_plugin_raw_path_identical_to_generic(seed):
     n_cands = int(rng.integers(1, 12))
     owner = rng.integers(-1, n_cands, (h, w)).astype(np.int32)
     ords = list(range(n_cands))
+    # full-coverage single-owner raster: exercises the gather-free
+    # full_tile_segment fast path (huge-polygon interiors)
+    owner_full = np.full((h, w), int(rng.integers(0, n_cands)),
+                         dtype=np.int32)
     for name in ("waterbodies_c3", "sum_wet", "ga_ls_wo_3_flags",
                  "wofs_albers_flags"):
         plugin = get_plugin(name)
-        got = plugin.partials_grouped_raw(raw, owner, ords, scratch={})
-        exp = plugin.partials_grouped(plugin.transform(raw), owner, ords,
-                                      scratch={})
-        assert got == exp, (name, got, exp)
+        for ow in (owner, owner_full):
+            got = plugin.partials_grouped_raw(raw, ow, ords, scratch={})
+            exp = plugin.partials_grouped(plugin.transform(raw), ow, ords,
+                                          scratch={})
+            assert got == exp, (name, got, exp)
