@@ -332,6 +332,57 @@ def embedding_neardup_pairs(embeddings: DataFrame,
             .filter(F.col("cosine") >= tau))
 
 
+def _local_contract(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction — the classic first phase
+    of two-phase distributed CC: ONE ``mapInPandas`` pass (no shuffle)
+    replaces each partition's edges by that partition's spanning STAR
+    (one ``(node, local_root)`` edge per distinct node), which preserves
+    connectivity exactly while (a) collapsing each within-partition
+    clique of k nodes from k(k-1)/2 edges to k star edges and (b)
+    resetting every within-partition chain to depth 1.  Near-dup pair
+    graphs are clique-heavy, so the iterative min-label rounds then run
+    over a smaller, shallower graph.  At the 100k-doc bench point this
+    is wall-time NEUTRAL (per-round scheduling overhead dominates, not
+    edge volume); the payoff is at edge-heavy scale, where LSH pair
+    graphs carry 10-100x more edges than nodes and the per-round
+    neighbour-join shuffle input shrinks to <= one star edge per node.
+    State is one dict entry per distinct node IN THE PARTITION, bounded
+    by the edge partition size (maxPartitionBytes), not the graph
+    size."""
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"].values, pdf["b"].values):
+                a, b = int(a), int(b)
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        import numpy as np
+        import pandas as pd
+
+        nodes = np.fromiter(parent.keys(), dtype=np.int64,
+                            count=len(parent))
+        roots = np.fromiter((find(int(n)) for n in nodes),
+                            dtype=np.int64, count=len(nodes))
+        yield pd.DataFrame({"a": nodes, "b": roots})
+
+    return edges.mapInPandas(run, schema="a long, b long")
+
+
 def _cc_scratch_base(spark) -> str:
     """Default spill base for :func:`connected_components` when the caller
     gives no ``scratch_dir``: the session checkpoint dir if one is set
@@ -423,10 +474,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
     # materialise the (possibly expensive) pair lineage ONCE: the edge
     # table is re-read every round by the neighbour-min join, and without
     # this an LSH/SimHash candidate pipeline upstream would re-execute
-    # per round
-    edges = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
-             .union(pairs.select(F.col("id2").alias("a"),
-                                 F.col("id1").alias("b")))
+    # per round.  The partition-local union-find contraction pre-pass
+    # (no shuffle, see :func:`_local_contract`) replaces raw pair edges
+    # by per-partition spanning stars before the iterative rounds.
+    und = _local_contract(
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b")))
+    edges = (und.union(und.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
              .localCheckpoint(eager=True))
     labels = (edges.select(F.col("a").alias("node"))
               .union(edges.select(F.col("b").alias("node")))

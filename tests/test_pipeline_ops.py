@@ -611,3 +611,42 @@ def test_dedup_corpus_near_empty_pair_graph(spark):
     out = dedup.dedup_corpus_near(docs, pairs).toPandas()
     assert sorted(out["doc_id"]) == [1, 2]
     assert out["component"].isna().all()
+
+
+def test_connected_components_random_graph_multi_partition(spark):
+    """The partition-local union-find contraction pre-pass must preserve
+    connectivity exactly when a component's edges are scattered across
+    many partitions: random graph, edges explicitly repartitioned 16
+    ways, components checked against a python union-find oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, 400, size=(600, 2)) if a != b]
+    pairs = (spark.createDataFrame(edges, "id1 long, id2 long")
+             .repartition(16))
+    out = dedup.connected_components(pairs).toPandas()
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp_groups = {}
+    for n in list(parent):
+        exp_groups.setdefault(find(n), set()).add(n)
+    got_groups = {}
+    for n, c in zip(out["node"], out["component"]):
+        got_groups.setdefault(c, set()).add(n)
+    assert sorted(map(sorted, got_groups.values())) == \
+        sorted(map(sorted, exp_groups.values()))
+    # min-label convention: every component is labelled by its min node
+    assert all(c == min(g) for c, g in got_groups.items())
