@@ -116,3 +116,23 @@ def phash64(arr: np.ndarray) -> int:
                         digest_size=8).digest()
     v = int.from_bytes(d, "big", signed=False)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """Perceptual 64-bit average-hash: 8x8 block means thresholded at
+    their global mean (signed int64 for a Spark LongType column).
+
+    Unlike :func:`phash64` (a cryptographic content hash where one
+    flipped pixel flips ~32 bits), this is ROBUST to small
+    perturbations — a near-identical image lands within a small hamming
+    distance — which is what image near-duplicate detection needs
+    (multimodal analogue of SimHash over documents)."""
+    a = np.asarray(arr, dtype=np.float64)
+    h, w = a.shape
+    bh, bw = max(1, h // 8), max(1, w // 8)
+    b = a[:bh * 8, :bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (b > b.mean()).ravel()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v

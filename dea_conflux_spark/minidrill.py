@@ -35,7 +35,7 @@ from .core import codec, geom
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench_data", "mini_drill")
-_VERSION = "v5"  # bump to force regeneration
+_VERSION = "v6"  # bump to force regeneration
 
 MINI_GRID = datagen.GridSpec(G=2, T=2, w=16, h=16)
 
@@ -267,6 +267,40 @@ def build(out_dir: str = FIXTURE_DIR) -> str:
         "ymax": [p["ymax"] for p in polys],
     }).to_parquet(os.path.join(out_dir, "mini_bboxes.parquet"),
                   index=False)
+    # image near-dup corpus: every WOfS tile + a one-pixel-perturbed TWIN
+    # (near-identical image), as engine tiles AND as a stored
+    # perceptual-hash table for the brute-force SQL oracle
+    ah_tiles, ah_rows = [], []
+    for ts_idx in range(g.T):
+        for gy in range(g.G):
+            for gx in range(g.G):
+                arr = _pixel_values(ts_idx, gx, gy)
+                twin = arr.copy()
+                twin[0, 0] = 2 if twin[0, 0] != 2 else 0
+                for tag, a in (("orig", arr), ("twin", twin)):
+                    iid = f"{tag}_{datagen.image_id(ts_idx, gx, gy)}"
+                    ah_tiles.append({
+                        "image_id": iid, "bytes": codec.encode(a, "raw"),
+                        "w": np.int32(g.w), "h": np.int32(g.h),
+                        "fmt": "raw", "caption": f"ahash {iid}",
+                        "phash": np.int64(codec.phash64(a)),
+                    })
+                    ah_rows.append((iid, np.int64(codec.ahash64(a))))
+    # non-vacuity: every (orig, twin) pair is within hamming 3 and at
+    # least one unrelated pair is far outside it
+    hm = {i: int(h) for i, h in ah_rows}
+    hams = [bin((hm[f"orig_{datagen.image_id(t, y, x)}"]
+                 ^ hm[f"twin_{datagen.image_id(t, y, x)}"])
+                & ((1 << 64) - 1)).count("1")
+            for t in range(g.T) for y in range(g.G) for x in range(g.G)]
+    assert max(hams) <= 3, hams
+    far = bin((hm["orig_t0000_x000_y000"] ^ hm["orig_t0001_x001_y001"])
+              & ((1 << 64) - 1)).count("1")
+    assert far > 3, far
+    pd.DataFrame(ah_tiles).to_parquet(
+        os.path.join(out_dir, "mini_ahash_tiles.parquet"), index=False)
+    pd.DataFrame(ah_rows, columns=["image_id", "ahash"]).to_parquet(
+        os.path.join(out_dir, "mini_ahashes.parquet"), index=False)
     with open(marker, "w") as f:
         f.write(_VERSION)
     return out_dir
@@ -533,6 +567,33 @@ def mini_image_stats_oracle_sql() -> str:
                SUM(CASE WHEN (val & 128) > 0 THEN 1.0 ELSE 0.0 END)
                  / COUNT(*) AS wet_frac
         FROM px GROUP BY image_id
+    """
+
+
+def mini_image_neardup(spark, sf_dir: str):
+    """Image near-duplicate pairs over the fixture's orig+twin tile
+    corpus: decode -> perceptual average-hash (Arrow batch) -> banded
+    candidate join -> JVM bit_count verify — exact-checked against a
+    brute-force hamming SQL oracle over the stored hash table.  The 16
+    planted (orig, twin) pairs are within hamming 3; unrelated tiles sit
+    ~25-35 bits apart, so the gate is non-vacuous in both directions."""
+    from .operators.multimodal import hash_neardup_pairs, image_ahash
+
+    out = build()
+    tiles = spark.read.parquet(
+        os.path.join(out, "mini_ahash_tiles.parquet"))
+    return hash_neardup_pairs(image_ahash(tiles), max_hamming=3)
+
+
+def mini_image_neardup_oracle_sql() -> str:
+    out = build()
+    ah = os.path.join(out, "mini_ahashes.parquet")
+    return f"""
+        WITH h AS (SELECT * FROM read_parquet('{ah}'))
+        SELECT a.image_id AS id1, b.image_id AS id2,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
     """
 
 

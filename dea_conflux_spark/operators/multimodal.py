@@ -98,3 +98,63 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
 
     from ..datagen import TILE_SCHEMA
     return videos.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def image_ahash(tiles: DataFrame, out_col: str = "ahash") -> DataFrame:
+    """(image_id, <out_col>): perceptual average-hash per image, decoded
+    and hashed inside the Arrow batch (core.codec.ahash64) — the
+    multimodal analogue of a document fingerprint pass."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = [(r.image_id,
+                     np.int64(codec.ahash64(
+                         _decode_any(r.bytes, int(r.h), int(r.w), r.fmt))))
+                    for r in pdf.itertuples()]
+            yield pd.DataFrame(rows, columns=["image_id", out_col])
+
+    return tiles.mapInPandas(run,
+                             schema=f"image_id string, {out_col} long")
+
+
+def hash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3,
+                       n_bands: int = 4, id_col: str = "image_id",
+                       hash_col: str = "ahash") -> DataFrame:
+    """(id1, id2, hamming): pairs of images whose 64-bit perceptual
+    hashes differ in at most ``max_hamming`` bits — image near-duplicate
+    detection without an all-pairs join.
+
+    SimHash-style banding (reference parity: the same pigeonhole idea as
+    the document SimHash blocks, operators/dedup.py): the 64-bit hash
+    splits into ``n_bands`` equal bands; two hashes within
+    ``n_bands - 1`` bits of each other MUST agree on at least one whole
+    band, so the band-key equi-join is recall-COMPLETE for
+    ``max_hamming <= n_bands - 1`` (asserted).  Candidates are verified
+    with a JVM-side ``bit_count(xor)`` — no Python in the pair path, and
+    the shuffle is keyed by (band, 16-bit key), never by the raw hash
+    alone."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding with {n_bands} bands is only recall-complete for "
+            f"max_hamming <= {n_bands - 1}, got {max_hamming}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright(F.col(hash_col), i * width)
+                 .bitwiseAND(F.lit(mask)).alias("key"))
+        for i in range(n_bands)])).alias("bk")
+    b = (hashes.select(F.col(id_col).alias("id"),
+                       F.col(hash_col).alias("h"), bands)
+         .select("id", "h", "bk.band", "bk.key"))
+    left = b.alias("a")
+    right = b.alias("c")
+    cand = (left.join(right, ["band", "key"])
+            .filter(F.col("a.id") < F.col("c.id"))
+            .select(F.col("a.id").alias("id1"),
+                    F.col("c.id").alias("id2"),
+                    F.col("a.h").alias("h1"), F.col("c.h").alias("h2"))
+            .distinct())
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (cand.select("id1", "id2", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

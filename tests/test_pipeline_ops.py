@@ -650,3 +650,73 @@ def test_connected_components_random_graph_multi_partition(spark):
         sorted(map(sorted, exp_groups.values()))
     # min-label convention: every component is labelled by its min node
     assert all(c == min(g) for c, g in got_groups.items())
+
+
+def test_hash_neardup_pairs_recall_complete_vs_brute(spark):
+    """Banded perceptual-hash near-dup (multimodal analogue of SimHash
+    blocks) must return EXACTLY the brute-force hamming<=3 pair set:
+    random 64-bit hashes with planted near-twins (1-3 flipped bits)."""
+    import numpy as np
+
+    from dea_conflux_spark.operators import multimodal
+
+    rng = np.random.default_rng(11)
+    hashes = []
+    for i in range(60):
+        h = int(rng.integers(0, 1 << 63))
+        hashes.append((f"img{i:03d}", h))
+        if i % 3 == 0:  # plant a twin within hamming 1-3
+            t = h
+            for bit in rng.choice(64, size=int(rng.integers(1, 4)),
+                                  replace=False):
+                t ^= (1 << int(bit))
+            t = t - (1 << 64) if t >= (1 << 63) else t
+            hashes.append((f"img{i:03d}_twin", t))
+    df = spark.createDataFrame(hashes, "image_id string, ahash long")
+    got = multimodal.hash_neardup_pairs(df, max_hamming=3).toPandas()
+    gotset = set(map(tuple, got[["id1", "id2"]].values))
+
+    def u64(x):
+        return x & ((1 << 64) - 1)
+
+    exp = set()
+    for i, (ida, ha) in enumerate(hashes):
+        for idb, hb in hashes[i + 1:]:
+            if bin(u64(int(ha) ^ int(hb))).count("1") <= 3:
+                exp.add((min(ida, idb), max(ida, idb)))
+    assert gotset == exp and len(exp) >= 20
+    # hamming values verified exact
+    for _, r in got.iterrows():
+        ha = dict(hashes)[r.id1]
+        hb = dict(hashes)[r.id2]
+        assert r.hamming == bin(u64(int(ha) ^ int(hb))).count("1")
+    # banding is only claimed complete for max_hamming <= n_bands - 1
+    with pytest.raises(ValueError):
+        multimodal.hash_neardup_pairs(df, max_hamming=4, n_bands=4)
+
+
+def test_image_ahash_twin_within_band(spark, tiles):
+    """Decode->ahash plumbing: a one-pixel-perturbed copy of every tile
+    hashes within hamming 3 of the original (the property the image
+    near-dup operator leans on)."""
+    import numpy as np
+
+    from dea_conflux_spark.core import codec
+    from dea_conflux_spark.operators import multimodal
+
+    pdf = tiles.limit(4).toPandas()
+    rows = []
+    for r in pdf.itertuples():
+        arr = codec.decode(r.bytes, int(r.h), int(r.w), r.fmt)
+        twin = arr.copy()
+        twin[1, 1] = (int(twin[1, 1]) + 2) % 256
+        rows.append((r.image_id + "_t", codec.encode(twin, "raw"),
+                     r.w, r.h, "raw", r.caption, r.phash))
+    import pandas as pd
+    both = pd.concat([pdf, pd.DataFrame(rows, columns=pdf.columns)])
+    df = spark.createDataFrame(both)
+    out = multimodal.hash_neardup_pairs(
+        multimodal.image_ahash(df), max_hamming=3).toPandas()
+    pairs = set(map(tuple, out[["id1", "id2"]].values))
+    for iid in pdf["image_id"]:
+        assert (min(iid, iid + "_t"), max(iid, iid + "_t")) in pairs
