@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wit_normalise_demo": Q.wit_normalise_demo,
         # documents / text analysis
         "doc_token_counts": Q.doc_token_counts,
+        "doc_pii_scrub": Q.doc_pii_scrub,
         "doc_quality_scores": Q.doc_quality_scores,
         "doc_lang_id": Q.doc_lang_id,
         "doc_fingerprints": Q.doc_fingerprints,
@@ -486,6 +487,24 @@ def oracle_sql() -> dict[str, str]:
                     x -> CAST(ceil(length(x) / 4.0) AS INT))) AS BIGINT)
                  AS n_subword_pieces
         FROM t
+    """
+
+    from dea_conflux_spark.operators.textqa import SCRUB_PATTERNS
+
+    _scrub = "pii"
+    for _, _pat, _repl in SCRUB_PATTERNS:
+        _p = _pat.replace("'", "''")
+        _scrub = f"regexp_replace({_scrub}, '{_p}', '{_repl}', 'g')"
+    sql["doc_pii_scrub"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or https://ex.org/d/'
+                      || CAST(doc_id AS VARCHAR) || ' tel 555-010-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS pii
+          FROM documents)
+        SELECT doc_id, {_scrub} AS scrubbed FROM t
     """
 
     sql["doc_quality_scores"] = f"""

@@ -196,3 +196,26 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(F.col("norm")).alias("doc_md5"),
         min_gram.alias("min_gram_hash"))
+
+
+# PII/boilerplate scrub patterns — deliberately RE2-compatible (no
+# lookaround, no backreferences) so the exact same pattern strings run
+# in Spark's Java regex AND the DuckDB oracle's RE2.
+SCRUB_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("url", r"https?://[^ \t\n]+", "<URL>"),
+    ("phone", r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+]
+
+
+def scrub_text(docs: DataFrame, text_col: str = "text",
+               out_col: str = "scrubbed") -> DataFrame:
+    """Mask emails / URLs / phone numbers in ``text_col`` — the PII
+    redaction pass an LLM training-data pipeline runs before
+    tokenisation.  Pure JVM ``regexp_replace`` chain (one projection, no
+    shuffle, no Python), patterns shared verbatim with the SQL oracle."""
+    col = F.col(text_col)
+    for _, pat, repl in SCRUB_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return docs.withColumn(out_col, col)

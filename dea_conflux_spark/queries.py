@@ -321,6 +321,24 @@ def doc_quality_scores(spark, sf):
     return textqa.quality_scores(_t(spark, sf, "documents"))
 
 
+def doc_pii_scrub(spark, sf):
+    """PII redaction demo: append synthetic email/URL/phone PII to every
+    document (the corpus itself is PII-free), scrub it with
+    textqa.scrub_text, and return the masked text — the oracle repeats
+    the identical synthesis + RE2-compatible replace chain in SQL."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf, "documents")
+    pii = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or "),
+        F.lit("https://ex.org/d/"), F.col("doc_id").cast("string"),
+        F.lit(" tel 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    return (textqa.scrub_text(docs.withColumn("text", pii))
+            .select("doc_id", F.col("scrubbed").alias("scrubbed")))
+
+
 def doc_lang_id(spark, sf):
     return textqa.lang_id(_t(spark, sf, "documents"))
 

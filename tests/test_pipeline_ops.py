@@ -720,3 +720,20 @@ def test_image_ahash_twin_within_band(spark, tiles):
     pairs = set(map(tuple, out[["id1", "id2"]].values))
     for iid in pdf["image_id"]:
         assert (min(iid, iid + "_t"), max(iid, iid + "_t")) in pairs
+
+
+def test_scrub_text_masks_pii_and_is_noop_on_clean_text(spark):
+    from dea_conflux_spark.operators import textqa
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c_9@sub.example.org now"),
+         (2, "see https://x.io/p?q=1\tnext"),
+         (3, "call 555-010-1234 or 555.010.9999"),
+         (4, "nothing to hide here")],
+        "doc_id long, text string")
+    got = dict(textqa.scrub_text(df).select("doc_id", "scrubbed")
+               .toPandas().values.tolist())
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "see <URL>\tnext"
+    assert got[3] == "call <PHONE> or <PHONE>"
+    assert got[4] == "nothing to hide here"  # clean text untouched
