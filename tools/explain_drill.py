@@ -183,6 +183,21 @@ def main():
           re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial",
                     tfidf_plan))
 
+    # ---- image near-dup: the banded pair join must be an equi-join on
+    # (band, key) — never a cartesian/all-pairs product of the corpus
+    from dea_conflux_spark.operators import multimodal
+
+    hashes = spark.createDataFrame(
+        [(f"i{k}", k * 7919) for k in range(50)],
+        "image_id string, ahash long")
+    nd_plan = (multimodal.hash_neardup_pairs(hashes)
+               ._jdf.queryExecution().executedPlan().toString())
+    check("hash_neardup_pairs: banded equi-join, no cartesian/all-pairs "
+          "product",
+          ("CartesianProduct" not in nd_plan
+           and "BroadcastNestedLoopJoin" not in nd_plan
+           and re.search(r"\[band#\d+L?, key#\d+L?\]", nd_plan)))
+
     out = ["# PLANS — flagship drill physical plan audit", "",
            "Generated by tools/explain_drill.py (re-run after plan-shaping",
            "changes).  Assertions verified on this plan:", ""]
