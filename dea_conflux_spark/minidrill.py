@@ -570,6 +570,56 @@ def mini_image_stats_oracle_sql() -> str:
     """
 
 
+def mini_image_resize_stats(spark, sf_dir: str):
+    """The multimodal resize pass driven end-to-end by a second engine:
+    decode -> nearest-neighbour 16x16 -> 8x8 -> re-encode raw -> decode
+    -> per-image stats, compared against the relational pixel table
+    restricted to the pixels NN sampling selects (even row/col indices:
+    ``arange(8) * 16 // 8``)."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import image_stats, resize_images
+    from .operators.textqa import round4
+
+    out = build()
+    tiles = spark.read.parquet(os.path.join(out, "mini_tiles.parquet"))
+    res = image_stats(resize_images(tiles, 8, 8))
+    return res.select("image_id", "px_mean", round4(F.col("px_std"))
+                      .alias("px_std"), "px_min", "px_max", "wet_frac")
+
+
+def mini_image_resize_stats_oracle_sql() -> str:
+    out = build()
+    px = os.path.join(out, "mini_pixels.parquet")
+    g = MINI_GRID
+    # global pixel index parity == local parity (tile width 16 is even),
+    # and NN 16->8 keeps exactly the even local indices
+    return f"""
+        WITH px AS (
+          SELECT printf('t%04d_x%03d_y%03d', ts_idx,
+                        CAST(floor((x - {g.x_off}) / {g.tile_span_x})
+                             AS INT),
+                        CAST(floor((y - {g.y_off}) / {g.tile_span_y})
+                             AS INT)) AS image_id,
+                 val
+          FROM read_parquet('{px}')
+          WHERE CAST(floor((x - {g.x_off}) / {g.px_res}) AS INT) % 2 = 0
+            AND CAST(floor((y - {g.y_off}) / {g.px_res}) AS INT) % 2 = 0
+        )
+        SELECT image_id,
+               SUM(val) / COUNT(*) AS px_mean,
+               floor(sqrt(SUM(CAST(val AS DOUBLE) * val) / COUNT(*)
+                          - (SUM(val) / COUNT(*))
+                            * (SUM(val) / COUNT(*))) * 10000 + 0.5)
+                 / 10000.0 AS px_std,
+               CAST(MIN(val) AS INT) AS px_min,
+               CAST(MAX(val) AS INT) AS px_max,
+               SUM(CASE WHEN (val & 128) > 0 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*) AS wet_frac
+        FROM px GROUP BY image_id
+    """
+
+
 def mini_image_neardup(spark, sf_dir: str):
     """Image near-duplicate pairs over the fixture's orig+twin tile
     corpus: decode -> perceptual average-hash (Arrow batch) -> banded
