@@ -149,6 +149,12 @@ def _mini_image_resize_stats(spark, sf_dir):
     return minidrill.mini_image_resize_stats(spark, sf_dir)
 
 
+def _mini_frame_sample_stats(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_frame_sample_stats(spark, sf_dir)
+
+
 def _mini_wit(spark, sf_dir):
     from dea_conflux_spark import minidrill
 
@@ -224,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mini_image_stats": _mini_image_stats,
         "mini_image_neardup": _mini_image_neardup,
         "mini_image_resize_stats": _mini_image_resize_stats,
+        "mini_frame_sample_stats": _mini_frame_sample_stats,
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
         "flagship_drill": _flagship_drill,
@@ -883,5 +890,7 @@ def oracle_sql() -> dict[str, str]:
     sql["mini_image_neardup"] = minidrill.mini_image_neardup_oracle_sql()
     sql["mini_image_resize_stats"] = (
         minidrill.mini_image_resize_stats_oracle_sql())
+    sql["mini_frame_sample_stats"] = (
+        minidrill.mini_frame_sample_stats_oracle_sql())
 
     return sql

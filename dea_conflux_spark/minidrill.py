@@ -35,7 +35,7 @@ from .core import codec, geom
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench_data", "mini_drill")
-_VERSION = "v6"  # bump to force regeneration
+_VERSION = "v7"  # bump to force regeneration
 
 MINI_GRID = datagen.GridSpec(G=2, T=2, w=16, h=16)
 
@@ -301,6 +301,22 @@ def build(out_dir: str = FIXTURE_DIR) -> str:
         os.path.join(out_dir, "mini_ahash_tiles.parquet"), index=False)
     pd.DataFrame(ah_rows, columns=["image_id", "ahash"]).to_parquet(
         os.path.join(out_dir, "mini_ahashes.parquet"), index=False)
+    # rawstack videos: one per grid slot, frames = that slot's per-ts
+    # pixel arrays concatenated (deterministic container for the
+    # frame-sampling plumbing; pixel values shared with mini_pixels)
+    vid_rows = []
+    for gy in range(g.G):
+        for gx in range(g.G):
+            stack = np.stack([_pixel_values(t, gx, gy)
+                              for t in range(g.T)])
+            vid_rows.append({
+                "video_id": f"v_x{gx:03d}_y{gy:03d}",
+                "bytes": stack.tobytes(),
+                "w": np.int32(g.w), "h": np.int32(g.h),
+                "n_frames": np.int32(g.T), "fmt": "rawstack",
+            })
+    pd.DataFrame(vid_rows).to_parquet(
+        os.path.join(out_dir, "mini_videos.parquet"), index=False)
     with open(marker, "w") as f:
         f.write(_VERSION)
     return out_dir
@@ -605,6 +621,52 @@ def mini_image_resize_stats_oracle_sql() -> str:
           FROM read_parquet('{px}')
           WHERE CAST(floor((x - {g.x_off}) / {g.px_res}) AS INT) % 2 = 0
             AND CAST(floor((y - {g.y_off}) / {g.px_res}) AS INT) % 2 = 0
+        )
+        SELECT image_id,
+               SUM(val) / COUNT(*) AS px_mean,
+               floor(sqrt(SUM(CAST(val AS DOUBLE) * val) / COUNT(*)
+                          - (SUM(val) / COUNT(*))
+                            * (SUM(val) / COUNT(*))) * 10000 + 0.5)
+                 / 10000.0 AS px_std,
+               CAST(MIN(val) AS INT) AS px_min,
+               CAST(MAX(val) AS INT) AS px_max,
+               SUM(CASE WHEN (val & 128) > 0 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*) AS wet_frac
+        FROM px GROUP BY image_id
+    """
+
+
+def mini_frame_sample_stats(spark, sf_dir: str):
+    """The video frame-sampling plumbing driven by a second engine: each
+    fixture video (rawstack of the slot's per-timestep pixel arrays)
+    explodes into per-frame raw images, whose decoded stats must equal
+    the relational pixel table grouped by (slot, timestep)."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import frame_sample, image_stats
+    from .operators.textqa import round4
+
+    out = build()
+    videos = spark.read.parquet(os.path.join(out, "mini_videos.parquet"))
+    res = image_stats(frame_sample(videos, every_n=1))
+    return res.select("image_id", "px_mean", round4(F.col("px_std"))
+                      .alias("px_std"), "px_min", "px_max", "wet_frac")
+
+
+def mini_frame_sample_stats_oracle_sql() -> str:
+    out = build()
+    px = os.path.join(out, "mini_pixels.parquet")
+    g = MINI_GRID
+    return f"""
+        WITH px AS (
+          SELECT printf('v_x%03d_y%03d#f%05d',
+                        CAST(floor((x - {g.x_off}) / {g.tile_span_x})
+                             AS INT),
+                        CAST(floor((y - {g.y_off}) / {g.tile_span_y})
+                             AS INT),
+                        ts_idx) AS image_id,
+                 val
+          FROM read_parquet('{px}')
         )
         SELECT image_id,
                SUM(val) / COUNT(*) AS px_mean,
