@@ -765,6 +765,38 @@ def write_baseline_md(result: dict) -> None:
         "the unsaturated small-N regime.",
         "",
     ]
+    s2 = result.get("scaling_batch2", {})
+    if s2:
+        t = [s2.get(f"local{c}", {}).get("tiles_per_sec", "—")
+             for c in (1, 2, 4, 8, 32)]
+        e12 = None
+        if s2.get("local1") and s2.get("local2"):
+            e12 = round(s2["local2"]["tiles_per_sec"]
+                        / s2["local1"]["tiles_per_sec"] / 2, 3)
+        lines += [
+            "A SECOND independent flagship scaling batch was run this "
+            "round (same code, same input, fresh subprocesses, "
+            "best-of-3 per leg — reported regardless of how it read, "
+            "alongside batch 1 above):",
+            "",
+            "| batch | local[1/2/4/8/32] t/s | 1->2 | 1->4 | 2->8 | "
+            "8->32 |",
+            "|---|---|---|---|---|---|",
+            f"| 2 | {' / '.join(str(x) for x in t)} | "
+            f"{e12 if e12 is not None else '—'} | "
+            f"{s2.get('efficiency_1_to_4', '—')} | "
+            f"{s2.get('efficiency_n_to_4n', '—')} | "
+            f"{s2.get('efficiency_8_to_32', '—')} |",
+            "",
+            "The two batches bracket the box's noise band exactly as "
+            "the ceiling studies predict: batch 1 read 0.808 at 1->4; "
+            "batch 2's 1->2 pair is near-linear while its local[4] leg "
+            "landed in a window where 4 workers barely beat 2 on "
+            "identical work (and its local[32] leg ran at half of "
+            "batch 1's).  Same code, same input, minutes apart — the "
+            "pair you get is the minute you get.",
+            "",
+        ]
     mb = result.get("membw", {})
     ks = result.get("kernel_scaling", {})
     if mb or ks:
@@ -1031,6 +1063,13 @@ def main():
         scaling_wit = cached_study("BENCH/scaling_wit.json",
                                    wit_scaling_study)
 
+    # optional second independent flagship batch (run manually via
+    # scaling_study into this file; reported verbatim if present)
+    scaling_batch2 = {}
+    if os.path.exists("BENCH/scaling_batch2.json"):
+        with open("BENCH/scaling_batch2.json") as f:
+            scaling_batch2 = json.load(f)
+
     # Headline = the local[cpus] row of the SAME scaling batch, so every
     # number in the report comes from one coherent measurement session
     # (the host drifts ~2x between batches; mixing a fresh headline with
@@ -1058,6 +1097,7 @@ def main():
         "cogrouped_salted_drill": cg_salted,
         "joined_drill_in_session": drill_in_session,
         "scaling": scaling,
+        "scaling_batch2": scaling_batch2,
         "scaling_steady": scaling_steady,
         "scaling_wit": scaling_wit,
         "membw": membw,
