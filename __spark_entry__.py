@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": Q.doc_pii_scrub,
         "doc_quality_scores": Q.doc_quality_scores,
         "doc_lang_id": Q.doc_lang_id,
+        "doc_repetition_signals": Q.doc_repetition_signals,
         "doc_fingerprints": Q.doc_fingerprints,
         "doc_tfidf_top_terms": Q.doc_tfidf_top_terms,
         "docs_top_bigrams": Q.docs_top_bigrams,
@@ -559,6 +560,38 @@ def oracle_sql() -> dict[str, str]:
                     WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
                     ELSE 'fr' END AS pred_lang
         FROM c
+    """
+
+    # repetition signals: Spark computes the top-bigram multiplicity as a
+    # longest-run scan over the sorted row-local bigram array (zero
+    # shuffle); the oracle computes the same mode the relational way
+    # (unnest + GROUP BY + MAX).  DuckDB's inclusive list slice
+    # toks[i:i+1] truncates at the end exactly like Spark's concat_ws
+    # NULL-skip, so the <n-token edge cases agree.
+    sql["doc_repetition_signals"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, toks,
+                list_transform(
+                  generate_series(1, greatest(len(toks) - 1, 1)),
+                  i -> array_to_string(toks[i:i+1], ' ')) AS bi2,
+                list_transform(
+                  generate_series(1, greatest(len(toks) - 2, 1)),
+                  i -> array_to_string(toks[i:i+2], ' ')) AS tri
+              FROM t),
+        bc AS (SELECT doc_id, MAX(cnt) AS top_bi
+               FROM (SELECT doc_id, bg, COUNT(*) AS cnt
+                     FROM (SELECT doc_id, unnest(bi2) AS bg FROM g)
+                     GROUP BY 1, 2)
+               GROUP BY 1)
+        SELECT g.doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               floor((len(list_distinct(toks)) / len(toks))
+                     * 10000 + 0.5) / 10000.0 AS distinct_token_frac,
+               floor((top_bi / len(bi2)) * 10000 + 0.5) / 10000.0
+                 AS top_bigram_frac,
+               floor((1.0 - len(list_distinct(tri)) / len(tri))
+                     * 10000 + 0.5) / 10000.0 AS dup_trigram_frac
+        FROM g JOIN bc ON g.doc_id = bc.doc_id
     """
 
     h_g = _H60.format(x="g")

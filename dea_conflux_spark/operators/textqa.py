@@ -198,6 +198,63 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         min_gram.alias("min_gram_hash"))
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    quality filters, adapted to single-line text): token diversity, the
+    positional share of the most frequent word bigram, and the duplicate
+    token-trigram fraction.
+
+    Every signal is a ROW-LOCAL JVM expression over the token array —
+    higher-order functions only, no explode, no per-gram shuffle (the
+    plan's only exchange is ``ensure_spread``'s narrow row-balancing
+    repartition when the scan is under-split, and that disappears on a
+    healthy multi-file layout).  At 100 TB this is the ideal shape: a map over
+    the corpus whose cost is the regex tokenise plus O(tokens log tokens)
+    per row, embarrassingly parallel, with column pruning limiting the
+    scan to (doc_id, text).  The top-bigram count — normally a per-doc
+    groupBy — is computed as the longest run in the SORTED bigram array
+    via one ``F.aggregate`` scan, avoiding the per-gram shuffle an
+    explode+groupBy formulation would pay.
+
+    Output: (doc_id, n_tokens, distinct_token_frac, top_bigram_frac,
+    dup_trigram_frac), fractions 4-dp rounded half-up so the DuckDB
+    oracle (which computes the bigram mode by unnest+GROUP BY) matches
+    bit-for-bit.
+    """
+    d = ensure_spread(docs).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+
+    def grams(n):
+        return F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]))
+
+    d = d.select("doc_id", toks,
+                 F.array_sort(grams(2)).alias("bi2"),
+                 grams(3).alias("tri"))
+    # longest run in the sorted bigram list == max bigram multiplicity
+    acc0 = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top_bi = F.aggregate(F.col("bi2"), acc0, step, lambda a: a["best"])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        round4(F.size(F.array_distinct(toks)) / F.size(toks))
+        .alias("distinct_token_frac"),
+        round4(top_bi / F.size(F.col("bi2"))).alias("top_bigram_frac"),
+        round4(F.lit(1.0) - F.size(F.array_distinct(F.col("tri")))
+               / F.size(F.col("tri"))).alias("dup_trigram_frac"))
+
+
 # PII/boilerplate scrub patterns — deliberately RE2-compatible (no
 # lookaround, no backreferences) so the exact same pattern strings run
 # in Spark's Java regex AND the DuckDB oracle's RE2.

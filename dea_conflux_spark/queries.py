@@ -343,6 +343,10 @@ def doc_lang_id(spark, sf):
     return textqa.lang_id(_t(spark, sf, "documents"))
 
 
+def doc_repetition_signals(spark, sf):
+    return textqa.repetition_signals(_t(spark, sf, "documents"))
+
+
 def doc_fingerprints(spark, sf):
     return textqa.fingerprints(_t(spark, sf, "documents"))
 

@@ -56,6 +56,43 @@ def test_fingerprints(docs):
     assert out["min_gram_hash"].notna().all()
 
 
+def test_repetition_signals_planted(spark):
+    """Planted repetition: a looping doc vs an all-distinct doc, with the
+    longest-run top-bigram count checked against a brute-force python
+    mode over the same bigram construction."""
+    rows = [
+        # "a b" repeated: bigram 'b a'/'a b' dominate, trigrams repeat
+        (1, "a b " * 10),
+        # every token distinct: no repeated bigram/trigram
+        (2, " ".join(f"w{i}" for i in range(20))),
+        (3, "x y z x y z x y q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textqa.repetition_signals(docs).collect()}
+    import re
+
+    def brute(text):
+        toks = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split()
+        bi = [" ".join(toks[i:i + 2]) for i in range(max(len(toks) - 1, 1))]
+        tri = [" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 1))]
+        top = max(bi.count(b) for b in set(bi))
+        return (len(toks),
+                round(len(set(toks)) / len(toks), 4),
+                round(top / len(bi), 4),
+                round(1 - len(set(tri)) / len(tri), 4))
+
+    for did, text in rows:
+        n, dtf, tbf, dup = brute(text)
+        r = out[did]
+        assert r["n_tokens"] == n
+        assert abs(r["distinct_token_frac"] - dtf) < 5e-5
+        assert abs(r["top_bigram_frac"] - tbf) < 5e-5
+        assert abs(r["dup_trigram_frac"] - dup) < 5e-5
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert out[1]["top_bigram_frac"] > out[2]["top_bigram_frac"]
+
+
 # ---------------------------------------------------------------- dedup
 
 def test_exact_dedup_finds_planted_dup(spark, docs):
