@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "docs_exact_dedup": Q.docs_exact_dedup,
         "docs_canonical_best_quality": Q.docs_canonical_best_quality,
+        "docs_decontaminate": Q.docs_decontaminate,
         "docs_ngram_jaccard_pairs": Q.docs_ngram_jaccard_pairs,
         "docs_minhash_rows": Q.docs_minhash_rows,
         "docs_minhash_lsh_pairs": Q.docs_minhash_lsh_pairs,
@@ -707,6 +708,21 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # max_df=64 hot-shingle cutoff mirrored from queries.py
+    # 4-gram shingles (one wider than _SHINGLES' n=3) — mirrors
+    # contamination_flags(n=4) in queries.docs_decontaminate
+    sql["docs_decontaminate"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 3, 1)),
+                i -> array_to_string(toks[i:i+3], ' ')))) AS shingle
+              FROM t),
+        bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0)
+        SELECT s.doc_id, COUNT(*) AS n_hit_shingles
+        FROM s JOIN bench USING (shingle)
+        WHERE s.doc_id % 97 <> 0
+        GROUP BY s.doc_id
+    """
+
     sql["docs_ngram_jaccard_pairs"] = f"""
         WITH {_SHINGLES},
         sdf AS (SELECT s.doc_id, s.shingle FROM s

@@ -171,6 +171,28 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
             .filter(F.col("jaccard") >= tau))
 
 
+def contamination_flags(corpus: DataFrame, bench: DataFrame,
+                        n: int = 4) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_hit_shingles) for every
+    corpus document sharing at least one token ``n``-gram with the
+    benchmark/eval set — the screen an LLM training pipeline runs so
+    eval questions don't leak into training data (the published recipe
+    uses 8-13-gram collision; the width is a parameter here).
+
+    Scale shape: the eval set is tiny next to a 100 TB corpus, so its
+    distinct shingle set is BROADCAST and the corpus side never
+    shuffles its shingles — the plan is scan -> shingle explode ->
+    broadcast-hash semi join -> partial+final count keyed by doc_id
+    (hit rows only, a vanishing fraction of the corpus).  No sort, no
+    corpus-wide exchange.
+    """
+    sh = _shingles(corpus, n)
+    bsh = F.broadcast(_shingles(bench, n).select("shingle").distinct())
+    return (sh.join(bsh, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hit_shingles")))
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures: for hash j,
     ``min((a_j * (md5i(shingle) % P) + b_j) % P)`` with a_j = 2j+1,

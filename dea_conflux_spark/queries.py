@@ -392,6 +392,17 @@ def docs_ngram_jaccard_pairs(spark, sf):
                                      tau=0.2, max_df=64)
 
 
+def docs_decontaminate(spark, sf):
+    """Benchmark decontamination demo: every 97th document plays the
+    eval set; the rest of the corpus is screened for 4-gram collisions
+    against it (broadcast semi-join — the eval side is tiny at any
+    corpus scale)."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_flags(corpus, bench, n=4)
+
+
 def docs_minhash_rows(spark, sf):
     sig = dedup.minhash_signatures(_t(spark, sf, "documents"), n=3)
     return sig.select(

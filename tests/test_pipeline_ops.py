@@ -105,6 +105,30 @@ def test_exact_dedup_finds_planted_dup(spark, docs):
     assert grp["keep_id"] != 999_999  # canonical = min id
 
 
+def test_contamination_flags_planted(spark):
+    """A corpus doc embedding a verbatim benchmark 4-gram is flagged
+    with the right hit count; disjoint docs are not; the bench shingle
+    side broadcasts."""
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris"),
+         (101, "solve for x in two x plus three")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "quiz leak: what is the capital of france said the tutor"),
+         (2, "totally unrelated words about spark shuffles and joins"),
+         # two overlapping 4-grams with bench doc 101
+         (3, "he asked me to solve for x in two minutes flat")],
+        "doc_id long, text string")
+    out = dedup.contamination_flags(corpus, bench, n=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r["doc_id"]: r["n_hit_shingles"] for r in out.collect()}
+    # doc 1: "what is the capital" / "is the capital of" / "the capital
+    # of france" = 3 shared 4-grams; doc 3 shares "solve for x in" /
+    # "for x in two"; doc 2 shares none
+    assert got == {1: 3, 3: 2}
+
+
 def test_jaccard_pairs_vs_numpy(spark, docs):
     got = dedup.ngram_jaccard_pairs(docs, n=3, tau=0.2).toPandas()
     # numpy oracle on a subset
