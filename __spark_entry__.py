@@ -149,6 +149,12 @@ def _mini_image_resize_stats(spark, sf_dir):
     return minidrill.mini_image_resize_stats(spark, sf_dir)
 
 
+def _mini_image_histogram(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_image_histogram(spark, sf_dir)
+
+
 def _mini_frame_sample_stats(spark, sf_dir):
     from dea_conflux_spark import minidrill
 
@@ -232,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mini_image_stats": _mini_image_stats,
         "mini_image_neardup": _mini_image_neardup,
         "mini_image_resize_stats": _mini_image_resize_stats,
+        "mini_image_histogram": _mini_image_histogram,
         "mini_frame_sample_stats": _mini_frame_sample_stats,
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
@@ -939,6 +946,8 @@ def oracle_sql() -> dict[str, str]:
     sql["mini_image_neardup"] = minidrill.mini_image_neardup_oracle_sql()
     sql["mini_image_resize_stats"] = (
         minidrill.mini_image_resize_stats_oracle_sql())
+    sql["mini_image_histogram"] = (
+        minidrill.mini_image_histogram_oracle_sql())
     sql["mini_frame_sample_stats"] = (
         minidrill.mini_frame_sample_stats_oracle_sql())
 

@@ -586,6 +586,38 @@ def mini_image_stats_oracle_sql() -> str:
     """
 
 
+def mini_image_histogram(spark, sf_dir: str):
+    """The multimodal histogram pass (decode -> per-image bincount of
+    value buckets) over the fixture tiles, exact-checked against the
+    relational pixel table grouped by (image, val // 16) — integer
+    counts, no rounding anywhere."""
+    from .operators.multimodal import image_histogram
+
+    out = build()
+    tiles = spark.read.parquet(os.path.join(out, "mini_tiles.parquet"))
+    return image_histogram(tiles, bin_width=16)
+
+
+def mini_image_histogram_oracle_sql() -> str:
+    out = build()
+    px = os.path.join(out, "mini_pixels.parquet")
+    g = MINI_GRID
+    return f"""
+        WITH px AS (
+          SELECT printf('t%04d_x%03d_y%03d', ts_idx,
+                        CAST(floor((x - {g.x_off}) / {g.tile_span_x})
+                             AS INT),
+                        CAST(floor((y - {g.y_off}) / {g.tile_span_y})
+                             AS INT)) AS image_id,
+                 val
+          FROM read_parquet('{px}')
+        )
+        SELECT image_id, CAST(val // 16 AS INT) AS bin,
+               COUNT(*) AS n_px
+        FROM px GROUP BY image_id, bin
+    """
+
+
 def mini_image_resize_stats(spark, sf_dir: str):
     """The multimodal resize pass driven end-to-end by a second engine:
     decode -> nearest-neighbour 16x16 -> 8x8 -> re-encode raw -> decode

@@ -100,6 +100,34 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
     return videos.mapInPandas(run, schema=TILE_SCHEMA)
 
 
+def image_histogram(tiles: DataFrame, bin_width: int = 16) -> DataFrame:
+    """Per-image pixel-value histogram: (image_id, bin, n_px) for every
+    NON-EMPTY bin of width ``bin_width`` over the uint8 range — the
+    luminance-distribution feature a vision training pipeline extracts
+    for exposure/contrast filtering.
+
+    Decode + ``np.bincount`` run inside the Arrow batch; each image
+    emits at most ``256 // bin_width`` narrow rows, so the output is a
+    tiny fraction of the pixel volume and downstream aggregation (e.g.
+    corpus-wide exposure stats) shuffles bin counts, never pixels."""
+    n_bins = 256 // bin_width
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                a = _decode_any(r.bytes, int(r.h), int(r.w), r.fmt)
+                counts = np.bincount(a.ravel() // bin_width,
+                                     minlength=n_bins)
+                rows.extend((r.image_id, int(b), int(c))
+                            for b, c in enumerate(counts) if c)
+            yield pd.DataFrame(rows,
+                               columns=["image_id", "bin", "n_px"])
+
+    return tiles.mapInPandas(
+        run, schema="image_id string, bin int, n_px long")
+
+
 def image_ahash(tiles: DataFrame, out_col: str = "ahash") -> DataFrame:
     """(image_id, <out_col>): perceptual average-hash per image, decoded
     and hashed inside the Arrow batch (core.codec.ahash64) — the

@@ -265,6 +265,29 @@ def test_resize_images(spark, tiles):
     assert a.shape == (16, 16)
 
 
+def test_image_histogram_vs_bincount(spark):
+    """Full-range random images: exploded histogram rows must equal
+    numpy bincount per image, empty bins absent, counts summing to
+    h*w."""
+    from dea_conflux_spark.core import codec
+    rng = np.random.default_rng(7)
+    imgs = {f"i{k}": rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+            for k in range(3)}
+    pdf = pd.DataFrame([{
+        "image_id": k, "bytes": codec.encode(a, "raw"), "w": np.int32(8),
+        "h": np.int32(8), "fmt": "raw", "caption": "", "phash": np.int64(0)}
+        for k, a in imgs.items()])
+    df = spark.createDataFrame(pdf, datagen.TILE_SCHEMA)
+    out = multimodal.image_histogram(df, bin_width=16).toPandas()
+    for k, a in imgs.items():
+        got = dict(zip(out[out.image_id == k]["bin"],
+                       out[out.image_id == k]["n_px"]))
+        exp = {b: int(c) for b, c in
+               enumerate(np.bincount(a.ravel() // 16, minlength=16)) if c}
+        assert got == exp
+        assert sum(got.values()) == 64
+
+
 def test_frame_sample(spark):
     rng = np.random.default_rng(1)
     stack = rng.integers(0, 255, size=(30, 8, 8), dtype=np.uint8)
