@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_nation_keys": Q.intersect_nation_keys,
         "orderkey_chunk_slice": Q.orderkey_chunk_slice,
         "events_json_extract": Q.events_json_extract,
+        "events_zorder_blocks": Q.events_zorder_blocks,
         "wit_normalise_demo": Q.wit_normalise_demo,
         # documents / text analysis
         "doc_token_counts": Q.doc_token_counts,
@@ -481,6 +482,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
     """
 
+
+    from dea_conflux_spark.core.cells import morton_key_sql
+
+    _Z = morton_key_sql("(user_id % 4096)", "(event_id % 4096)", 12)
+    sql["events_zorder_blocks"] = f"""
+        WITH z AS (SELECT {_Z} AS zkey FROM events)
+        SELECT zkey >> 16 AS zblock, COUNT(*) AS n_events,
+               MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey
+        FROM z GROUP BY zblock
+    """
 
     sql["wit_normalise_demo"] = """
         WITH f AS (

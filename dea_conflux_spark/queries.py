@@ -289,6 +289,26 @@ def events_json_extract(spark, sf):
             .filter(F.col("k_val") > 50))
 
 
+def events_zorder_blocks(spark, sf):
+    """Z-order clustering key demo: events quantised onto a 4096x4096
+    grid, Morton-interleaved (core.cells.morton_key — the clustered-
+    write key), then summarised per 256-key block.  The per-block
+    min/max span shows the locality a ZORDER BY write gives parquet
+    min/max pruning; the oracle recomputes the identical interleave
+    from morton_key_sql."""
+    from .core.cells import morton_key
+
+    e = _t(spark, sf, "events")
+    x = F.col("user_id") % 4096
+    y = F.col("event_id") % 4096
+    z = morton_key(x, y, bits=12)
+    return (e.select(z.alias("zkey"))
+            .groupBy(F.shiftright(F.col("zkey"), 16).alias("zblock"))
+            .agg(F.count("*").alias("n_events"),
+                 F.min("zkey").alias("min_zkey"),
+                 F.max("zkey").alias("max_zkey")))
+
+
 # ----------------------------------------------------- documents / text
 
 def wit_normalise_demo(spark, sf):

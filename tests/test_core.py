@@ -203,3 +203,48 @@ def test_phash_deterministic():
     b = a.copy(); b[0, 0] ^= 1
     assert codec.phash64(a) != codec.phash64(b)
     assert -(2**63) <= codec.phash64(a) < 2**63
+
+
+def test_morton_key_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    pts = [(int(x), int(y)) for x, y in
+           rng.integers(0, 4096, size=(200, 2))]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", cells.morton_key(F.col("x"), F.col("y"), 12)
+        .alias("z")).collect()}
+
+    def interleave(x, y):
+        z = 0
+        for i in range(12):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == interleave(x, y)
+    # bijective on the sample
+    assert len(set(got.values())) == len(set(pts))
+
+
+def test_cluster_by_zorder_locality(spark):
+    """Range-partitioning on the Morton key must make every partition a
+    compact spatial blob: mean per-partition bbox area well under the
+    full domain (16 partitions over a uniform 1024^2 grid -> ~1/16
+    each; assert < 1/4)."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(12)
+    pts = [(int(x), int(y)) for x, y in
+           rng.integers(0, 1024, size=(4000, 2))]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = cells.cluster_by_zorder(df, "x", "y", bits=10, n_files=16)
+    spans = (out.withColumn("pid", F.spark_partition_id())
+             .groupBy("pid")
+             .agg(((F.max("x") - F.min("x"))
+                   * (F.max("y") - F.min("y"))).alias("area"))
+             .toPandas())
+    assert len(spans) >= 8  # range partitioner actually split the key
+    assert spans["area"].mean() < (1024 * 1024) / 4
