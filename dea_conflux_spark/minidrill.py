@@ -35,7 +35,7 @@ from .core import codec, geom
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench_data", "mini_drill")
-_VERSION = "v7"  # bump to force regeneration
+_VERSION = "v8"  # bump to force regeneration
 
 MINI_GRID = datagen.GridSpec(G=2, T=2, w=16, h=16)
 
@@ -317,6 +317,33 @@ def build(out_dir: str = FIXTURE_DIR) -> str:
             })
     pd.DataFrame(vid_rows).to_parquet(
         os.path.join(out_dir, "mini_videos.parquet"), index=False)
+    # rawpcm audio clips: deterministic int16 sine mixes, written once
+    # ENCODED (what the engine decodes) and once EXPLODED as a
+    # relational sample table (what DuckDB aggregates) — the audio
+    # analogue of the tiles/pixels twin pair
+    au_rows, samp_frames = [], []
+    for k in range(6):
+        sr = 8000
+        n = 1200 + 160 * k
+        t = np.arange(n)
+        wave = (3000.0 * (k + 1) * np.sin(2 * np.pi * (55.0 + 13.0 * k)
+                                          * t / sr)
+                + 700.0 * np.sin(2 * np.pi * 997.0 * t / sr + 0.25 * k))
+        s = np.clip(np.round(wave), -32768, 32767).astype(np.int16)
+        au_rows.append({
+            "audio_id": f"clip{k:02d}", "bytes": s.tobytes(),
+            "sr": np.int32(sr), "n_samples": np.int32(n),
+            "fmt": "rawpcm",
+        })
+        samp_frames.append(pd.DataFrame({
+            "audio_id": f"clip{k:02d}",
+            "idx": t.astype(np.int64),
+            "sample": s.astype(np.int32),
+        }))
+    pd.DataFrame(au_rows).to_parquet(
+        os.path.join(out_dir, "mini_audio.parquet"), index=False)
+    pd.concat(samp_frames, ignore_index=True).to_parquet(
+        os.path.join(out_dir, "mini_audio_samples.parquet"), index=False)
     with open(marker, "w") as f:
         f.write(_VERSION)
     return out_dir
@@ -615,6 +642,42 @@ def mini_image_histogram_oracle_sql() -> str:
         SELECT image_id, CAST(val // 16 AS INT) AS bin,
                COUNT(*) AS n_px
         FROM px GROUP BY image_id, bin
+    """
+
+
+def mini_audio_stats(spark, sf_dir: str):
+    """The multimodal audio feature pass (rawpcm decode -> duration /
+    RMS / peak / zero crossings) over the fixture clips, exact-checked
+    against the relational sample table.  Zero crossings use the
+    sign-of-(s>=0) change rule on both sides; RMS is 4-dp rounded
+    half-up (int16^2 sums exact in float64)."""
+    from .operators.multimodal import audio_stats
+
+    out = build()
+    clips = spark.read.parquet(os.path.join(out, "mini_audio.parquet"))
+    return audio_stats(clips)
+
+
+def mini_audio_stats_oracle_sql() -> str:
+    out = build()
+    samp = os.path.join(out, "mini_audio_samples.parquet")
+    return f"""
+        WITH s AS (
+          SELECT audio_id, idx, sample,
+                 CASE WHEN sample >= 0 THEN 1 ELSE 0 END AS nn,
+                 LAG(CASE WHEN sample >= 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY audio_id ORDER BY idx) AS prev_nn
+          FROM read_parquet('{samp}')
+        )
+        SELECT audio_id,
+               COUNT(*) / 8000.0 AS duration_sec,
+               floor(sqrt(SUM(CAST(sample AS DOUBLE) * sample)
+                          / COUNT(*)) * 10000 + 0.5) / 10000.0 AS rms,
+               CAST(MAX(abs(sample)) AS INT) AS peak,
+               CAST(SUM(CASE WHEN prev_nn IS NOT NULL
+                             AND nn <> prev_nn THEN 1 ELSE 0 END)
+                    AS INT) AS zero_crossings
+        FROM s GROUP BY audio_id
     """
 
 

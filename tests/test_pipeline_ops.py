@@ -301,6 +301,42 @@ def test_frame_sample(spark):
     assert list(frames["image_id"]) == ["v0#f00000", "v0#f00010", "v0#f00020"]
 
 
+def test_audio_stats(spark):
+    rng = np.random.default_rng(7)
+    clips = {}
+    for k in range(3):
+        n = 400 + 50 * k
+        clips[f"a{k}"] = rng.integers(
+            -20000, 20000, size=n, dtype=np.int16)
+    pdf = pd.DataFrame([{
+        "audio_id": k, "bytes": s.tobytes(), "sr": np.int32(8000),
+        "n_samples": np.int32(len(s)), "fmt": "rawpcm"}
+        for k, s in clips.items()])
+    df = spark.createDataFrame(
+        pdf, "audio_id string, bytes binary, sr int, n_samples int, "
+             "fmt string")
+    out = multimodal.audio_stats(df).toPandas().set_index("audio_id")
+    for k, s in clips.items():
+        r = out.loc[k]
+        assert r["duration_sec"] == len(s) / 8000.0
+        rms = float(np.sqrt((s.astype(np.float64) ** 2).mean()))
+        assert r["rms"] == np.floor(rms * 10000 + 0.5) / 10000.0
+        assert r["peak"] == int(np.abs(s.astype(np.int32)).max())
+        nn = s >= 0
+        assert r["zero_crossings"] == int(
+            np.count_nonzero(nn[1:] != nn[:-1]))
+
+
+def test_audio_codec_stubbed(spark):
+    pdf = pd.DataFrame([{"audio_id": "x", "bytes": b"ID3\x04", "sr": np.int32(44100),
+                         "n_samples": np.int32(0), "fmt": "mp3"}])
+    df = spark.createDataFrame(
+        pdf, "audio_id string, bytes binary, sr int, n_samples int, "
+             "fmt string")
+    with pytest.raises(Exception, match="NotImplementedError|audio codec"):
+        multimodal.audio_stats(df).collect()
+
+
 def test_external_codec_stubbed(spark):
     pdf = pd.DataFrame([{"image_id": "x", "bytes": b"\xff\xd8", "w": np.int32(2),
                          "h": np.int32(1), "fmt": "jpeg", "caption": "c",
