@@ -161,6 +161,12 @@ def _mini_audio_stats(spark, sf_dir):
     return minidrill.mini_audio_stats(spark, sf_dir)
 
 
+def _mini_audio_chunks(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_audio_chunks(spark, sf_dir)
+
+
 def _mini_frame_sample_stats(spark, sf_dir):
     from dea_conflux_spark import minidrill
 
@@ -247,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mini_image_resize_stats": _mini_image_resize_stats,
         "mini_image_histogram": _mini_image_histogram,
         "mini_audio_stats": _mini_audio_stats,
+        "mini_audio_chunks": _mini_audio_chunks,
         "mini_frame_sample_stats": _mini_frame_sample_stats,
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
@@ -967,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
     sql["mini_image_histogram"] = (
         minidrill.mini_image_histogram_oracle_sql())
     sql["mini_audio_stats"] = minidrill.mini_audio_stats_oracle_sql()
+    sql["mini_audio_chunks"] = minidrill.mini_audio_chunks_oracle_sql()
     sql["mini_frame_sample_stats"] = (
         minidrill.mini_frame_sample_stats_oracle_sql())
 

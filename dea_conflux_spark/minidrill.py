@@ -35,7 +35,7 @@ from .core import codec, geom
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench_data", "mini_drill")
-_VERSION = "v8"  # bump to force regeneration
+_VERSION = "v9"  # bump to force regeneration
 
 MINI_GRID = datagen.GridSpec(G=2, T=2, w=16, h=16)
 
@@ -340,6 +340,24 @@ def build(out_dir: str = FIXTURE_DIR) -> str:
             "idx": t.astype(np.int64),
             "sample": s.astype(np.int32),
         }))
+    # clip06: alternating loud/near-silent 100 ms (800-sample) windows,
+    # so the audio_chunks silence flag is exercised on BOTH sides of the
+    # threshold (the sine clips above are loud throughout)
+    sr = 8000
+    n = 2000  # 2 full windows + 1 partial
+    t = np.arange(n)
+    amp = np.where((t // 800) % 2 == 0, 6000.0, 30.0)
+    wave = amp * np.sin(2 * np.pi * 220.0 * t / sr)
+    s = np.clip(np.round(wave), -32768, 32767).astype(np.int16)
+    au_rows.append({
+        "audio_id": "clip06", "bytes": s.tobytes(),
+        "sr": np.int32(sr), "n_samples": np.int32(n), "fmt": "rawpcm",
+    })
+    samp_frames.append(pd.DataFrame({
+        "audio_id": "clip06",
+        "idx": t.astype(np.int64),
+        "sample": s.astype(np.int32),
+    }))
     pd.DataFrame(au_rows).to_parquet(
         os.path.join(out_dir, "mini_audio.parquet"), index=False)
     pd.concat(samp_frames, ignore_index=True).to_parquet(
@@ -678,6 +696,38 @@ def mini_audio_stats_oracle_sql() -> str:
                              AND nn <> prev_nn THEN 1 ELSE 0 END)
                     AS INT) AS zero_crossings
         FROM s GROUP BY audio_id
+    """
+
+
+def mini_audio_chunks(spark, sf_dir: str):
+    """The fixed-window audio segmentation pass (100 ms windows, RMS +
+    silence flag) over the fixture clips — including clip06's
+    alternating loud/near-silent windows, so ``is_silence`` is checked
+    on both sides of the threshold — against the relational sample
+    table grouped by ``idx // 800``."""
+    from .operators.multimodal import audio_chunks
+
+    out = build()
+    clips = spark.read.parquet(os.path.join(out, "mini_audio.parquet"))
+    return audio_chunks(clips, window_ms=100, silence_rms=500.0)
+
+
+def mini_audio_chunks_oracle_sql() -> str:
+    out = build()
+    samp = os.path.join(out, "mini_audio_samples.parquet")
+    return f"""
+        WITH w AS (
+          SELECT audio_id, CAST(idx // 800 AS INT) AS win,
+                 CAST(MIN(idx) AS BIGINT) AS start_idx,
+                 CAST(COUNT(*) AS INT) AS n_samples,
+                 floor(sqrt(SUM(CAST(sample AS DOUBLE) * sample)
+                            / COUNT(*)) * 10000 + 0.5) / 10000.0 AS rms
+          FROM read_parquet('{samp}')
+          GROUP BY audio_id, CAST(idx // 800 AS INT)
+        )
+        SELECT audio_id, win, start_idx, n_samples, rms,
+               rms < 500.0 AS is_silence
+        FROM w
     """
 
 

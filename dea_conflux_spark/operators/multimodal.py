@@ -169,6 +169,49 @@ def audio_stats(clips: DataFrame) -> DataFrame:
                      "peak int, zero_crossings int"))
 
 
+def audio_chunks(clips: DataFrame, window_ms: int = 100,
+                 silence_rms: float = 500.0) -> DataFrame:
+    """Fixed-duration audio windowing: one input clip -> one row per
+    ``window_ms`` window with per-window RMS and a silence flag — the
+    segmentation + voice-activity screen an audio pipeline runs to trim
+    silence and slice clips into training chunks (the audio analogue of
+    ``frame_sample``).
+
+    The last window may be partial (``n_samples`` carries its true
+    length).  RMS uses the shared 4-dp half-up rounding so the
+    relational sample-table oracle matches bit-for-bit; the silence
+    flag compares the ROUNDED value, keeping both engines on the same
+    side of the threshold.  Windows are emitted as scalar rows —
+    samples never enter the plan, so downstream silence-ratio
+    aggregation shuffles window stats, not waveforms."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.fmt != "rawpcm":
+                    raise NotImplementedError(
+                        f"audio codec '{r.fmt}' unavailable in this "
+                        "environment — plug a real decoder here "
+                        "(ffmpeg/soundfile); the plumbing is "
+                        "format-agnostic")
+                s = np.frombuffer(r.bytes, dtype="<i2")
+                win = int(r.sr) * window_ms // 1000
+                for wi in range(0, len(s), win):
+                    seg = s[wi:wi + win].astype(np.float64)
+                    rms = float(np.sqrt((seg * seg).sum() / len(seg)))
+                    rms4 = float(np.floor(rms * 10000 + 0.5) / 10000.0)
+                    rows.append((r.audio_id, wi // win, wi, len(seg),
+                                 rms4, bool(rms4 < silence_rms)))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "win", "start_idx", "n_samples", "rms",
+                "is_silence"])
+
+    return clips.mapInPandas(
+        run, schema=("audio_id string, win int, start_idx long, "
+                     "n_samples int, rms double, is_silence boolean"))
+
+
 def image_ahash(tiles: DataFrame, out_col: str = "ahash") -> DataFrame:
     """(image_id, <out_col>): perceptual average-hash per image, decoded
     and hashed inside the Arrow batch (core.codec.ahash64) — the

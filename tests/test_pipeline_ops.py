@@ -327,6 +327,28 @@ def test_audio_stats(spark):
             np.count_nonzero(nn[1:] != nn[:-1]))
 
 
+def test_audio_chunks(spark):
+    # 2.5 windows at 100 ms / 8 kHz: loud, near-silent, loud partial
+    t = np.arange(2000)
+    amp = np.where((t // 800) % 2 == 0, 5000.0, 10.0)
+    s = np.round(amp * np.sin(2 * np.pi * 330 * t / 8000)).astype(np.int16)
+    pdf = pd.DataFrame([{"audio_id": "a", "bytes": s.tobytes(),
+                         "sr": np.int32(8000), "n_samples": np.int32(2000),
+                         "fmt": "rawpcm"}])
+    df = spark.createDataFrame(
+        pdf, "audio_id string, bytes binary, sr int, n_samples int, "
+             "fmt string")
+    out = (multimodal.audio_chunks(df, window_ms=100, silence_rms=500.0)
+           .toPandas().sort_values("win").reset_index(drop=True))
+    assert list(out["start_idx"]) == [0, 800, 1600]
+    assert list(out["n_samples"]) == [800, 800, 400]
+    assert list(out["is_silence"]) == [False, True, False]
+    for i, (lo, hi) in enumerate([(0, 800), (800, 1600), (1600, 2000)]):
+        seg = s[lo:hi].astype(np.float64)
+        rms = np.sqrt((seg * seg).sum() / len(seg))
+        assert out.loc[i, "rms"] == np.floor(rms * 10000 + 0.5) / 10000.0
+
+
 def test_audio_codec_stubbed(spark):
     pdf = pd.DataFrame([{"audio_id": "x", "bytes": b"ID3\x04", "sr": np.int32(44100),
                          "n_samples": np.int32(0), "fmt": "mp3"}])
