@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic sampling / splits
         "docs_split_assign": Q.docs_split_assign,
         "docs_stratified_sample": Q.docs_stratified_sample,
+        "docs_pack_sequences": Q.docs_pack_sequences,
         # dedup family
         "docs_exact_dedup": Q.docs_exact_dedup,
         "docs_canonical_best_quality": Q.docs_canonical_best_quality,
@@ -680,6 +681,25 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY {h_key} ASC, doc_id) AS rk
               FROM documents)
         WHERE rk <= 20
+    """
+
+    sql["docs_pack_sequences"] = f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST({h_key} % 8 AS INT) AS shard,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, source, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS start_tok,
+               CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) / 256) AS INT) AS seq_idx
+        FROM t
     """
 
     sql["embedding_label_centroids"] = """

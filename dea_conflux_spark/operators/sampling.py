@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .textqa import md5i
+from .textqa import md5i, tokens_col
 
 
 def split_assign(df: DataFrame, key_col: str = "doc_id",
@@ -42,6 +42,36 @@ def split_assign(df: DataFrame, key_col: str = "doc_id",
              .otherwise("test"))
     return (df.select(key_col, bucket.alias("bucket"))
             .withColumn("split", split))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256,
+                   n_shards: int = 8, group_col: str = "source",
+                   key_col: str = "doc_id") -> DataFrame:
+    """(doc_id, source, shard, n_tokens, start_tok, seq_idx) —
+    deterministic training-sequence packing: concatenate documents in a
+    stable order and assign each one to the fixed-token-budget sequence
+    its first token lands in (``seq_idx = floor(start_tok / budget)``,
+    long docs spanning multiple sequences keep their starting index).
+
+    Real pipelines pack per output shard, not globally — a single
+    global running sum would funnel the corpus through one reducer.
+    Here each (group, shard) packs independently, with the shard a pure
+    hash of the key (``md5i(key) % n_shards``): the plan is one window
+    cumsum per (group, shard) partition, parallel across
+    ``groups x n_shards`` reducers and reproducible across cluster
+    sizes and row order.  Token counts use the shared whitespace
+    tokenizer (``textqa.tokens_col``) so the SQL oracle is exact.
+    """
+    ntok = F.size(tokens_col(F.col("text"))).cast("long")
+    shard = (md5i(F.col(key_col).cast("string")) % n_shards).cast("int")
+    d = docs.select(F.col(key_col), F.col(group_col),
+                    shard.alias("shard"), ntok.alias("n_tokens"))
+    w = (W.partitionBy(group_col, "shard").orderBy(key_col)
+         .rowsBetween(W.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (d.withColumn("start_tok", start)
+            .withColumn("seq_idx",
+                        F.floor(F.col("start_tok") / budget).cast("int")))
 
 
 def stratified_sample(df: DataFrame, strata: list[str],

@@ -393,6 +393,14 @@ def docs_stratified_sample(spark, sf):
                                       strata=["lang"], per_stratum=20)
 
 
+def docs_pack_sequences(spark, sf):
+    from .operators import sampling
+
+    return sampling.pack_sequences(_t(spark, sf, "documents"),
+                                   budget=256, n_shards=8,
+                                   group_col="source", key_col="doc_id")
+
+
 def embedding_label_centroids(spark, sf):
     return similarity.label_centroids(_t(spark, sf, "embeddings"))
 

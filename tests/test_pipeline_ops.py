@@ -613,6 +613,28 @@ def test_stratified_sample_fixed_size_and_stable(docs):
     assert key(pdf) == key(again)
 
 
+def test_pack_sequences_semantics_and_partition_invariant(docs):
+    from dea_conflux_spark.operators import sampling
+
+    out = sampling.pack_sequences(docs, budget=64, n_shards=4).toPandas()
+    # per (source, shard): start offsets are the running token sum in
+    # doc_id order, and seq_idx is the budget bin of the start
+    for (_, _), grp in out.groupby(["source", "shard"]):
+        g = grp.sort_values("doc_id")
+        want_start = g["n_tokens"].cumsum().shift(fill_value=0)
+        assert list(g["start_tok"]) == list(want_start)
+        assert list(g["seq_idx"]) == list(want_start // 64)
+    # every doc of the corpus is packed exactly once
+    assert sorted(out["doc_id"]) == sorted(
+        docs.select("doc_id").toPandas()["doc_id"])
+    # partitioning / input order must not change the assignment
+    again = sampling.pack_sequences(
+        docs.orderBy(F.rand(3)).repartition(11), budget=64,
+        n_shards=4).toPandas()
+    key = lambda p: sorted(map(tuple, p.values))  # noqa: E731
+    assert key(out) == key(again)
+
+
 def test_label_centroids_vs_numpy(embeddings):
     out = similarity.label_centroids(embeddings).toPandas()
     pdf = embeddings.select("label", "embedding").toPandas()
