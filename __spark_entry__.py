@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_assign": Q.docs_split_assign,
         "docs_stratified_sample": Q.docs_stratified_sample,
         "docs_pack_sequences": Q.docs_pack_sequences,
+        "docs_mixture_sample": Q.docs_mixture_sample,
         # dedup family
         "docs_exact_dedup": Q.docs_exact_dedup,
         "docs_canonical_best_quality": Q.docs_canonical_best_quality,
@@ -681,6 +682,15 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY {h_key} ASC, doc_id) AS rk
               FROM documents)
         WHERE rk <= 20
+    """
+
+    sql["docs_mixture_sample"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE {h_key} % 1000000 < floor(
+            CASE source WHEN 'src0' THEN 1.0
+                        WHEN 'src1' THEN 0.5
+                        WHEN 'src2' THEN 0.25
+                        ELSE 0.2 END * 1000000)
     """
 
     sql["docs_pack_sequences"] = f"""

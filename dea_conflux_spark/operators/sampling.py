@@ -44,6 +44,36 @@ def split_assign(df: DataFrame, key_col: str = "doc_id",
             .withColumn("split", split))
 
 
+def mixture_sample(docs: DataFrame, rates: dict[str, float],
+                   default_rate: float = 1.0, key_col: str = "doc_id",
+                   group_col: str = "source") -> DataFrame:
+    """(key, group) — deterministic corpus-mixture downsampling: keep
+    each row of group *g* with probability ``rates.get(g,
+    default_rate)``, decided by a pure hash of the row key — the
+    reweighting step that turns raw crawls into a training mixture
+    (e.g. web 10%, wiki 100%, books 50%).
+
+    ``keep = md5i(key) % 1e6 < floor(rate * 1e6)``: a row-local filter
+    over the scan — no shuffle, no RNG state — so the same document is
+    kept or dropped identically on every rerun, at every parallelism,
+    and in every downstream pipeline that re-derives the mixture.
+    Integer thresholds sidestep float-comparison ambiguity between
+    engines.
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    mapping = F.create_map(
+        *[F.lit(v) for kv in rates.items() for v in kv])
+    rate = F.coalesce(mapping[F.col(group_col)],
+                      F.lit(float(default_rate)))
+    u = md5i(F.col(key_col).cast("string")) % 1000000
+    return (docs.filter(u < F.floor(rate * 1000000))
+            .select(key_col, group_col))
+
+
 def pack_sequences(docs: DataFrame, budget: int = 256,
                    n_shards: int = 8, group_col: str = "source",
                    key_col: str = "doc_id") -> DataFrame:

@@ -393,6 +393,15 @@ def docs_stratified_sample(spark, sf):
                                       strata=["lang"], per_stratum=20)
 
 
+def docs_mixture_sample(spark, sf):
+    from .operators import sampling
+
+    return sampling.mixture_sample(
+        _t(spark, sf, "documents"),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.2)
+
+
 def docs_pack_sequences(spark, sf):
     from .operators import sampling
 

@@ -613,6 +613,28 @@ def test_stratified_sample_fixed_size_and_stable(docs):
     assert key(pdf) == key(again)
 
 
+def test_mixture_sample_rates_and_determinism(docs):
+    from dea_conflux_spark.operators import sampling
+
+    rates = {"src0": 1.0, "src1": 0.0}
+    out = sampling.mixture_sample(docs, rates, default_rate=0.5).toPandas()
+    full = docs.groupBy("source").count().toPandas().set_index("source")
+    by_src = out.groupby("source")["doc_id"].count()
+    # rate 1.0 keeps everything, rate 0.0 keeps nothing
+    assert by_src.get("src0", 0) == int(full.loc["src0", "count"])
+    assert "src1" not in by_src.index
+    # default-rate sources land near 50% (3-sigma binomial)
+    rest = int(full.drop(["src0", "src1"]).sum().iloc[0])
+    kept_rest = int(by_src.drop("src0", errors="ignore").sum())
+    assert abs(kept_rest - 0.5 * rest) < 3 * np.sqrt(rest * 0.25) + 1
+    # pure function of the key: partitioning cannot change the sample
+    again = sampling.mixture_sample(
+        docs.repartition(17), rates, default_rate=0.5).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(docs, {"src0": 1.5})
+
+
 def test_pack_sequences_semantics_and_partition_invariant(docs):
     from dea_conflux_spark.operators import sampling
 
