@@ -167,6 +167,12 @@ def _mini_audio_chunks(spark, sf_dir):
     return minidrill.mini_audio_chunks(spark, sf_dir)
 
 
+def _mini_audio_resample_stats(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_audio_resample_stats(spark, sf_dir)
+
+
 def _mini_frame_sample_stats(spark, sf_dir):
     from dea_conflux_spark import minidrill
 
@@ -256,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mini_image_histogram": _mini_image_histogram,
         "mini_audio_stats": _mini_audio_stats,
         "mini_audio_chunks": _mini_audio_chunks,
+        "mini_audio_resample_stats": _mini_audio_resample_stats,
         "mini_frame_sample_stats": _mini_frame_sample_stats,
         # geospatial (rows-only: no relational analogue on these tables)
         "wit_drill": _wit_drill,
@@ -1005,6 +1012,8 @@ def oracle_sql() -> dict[str, str]:
         minidrill.mini_image_histogram_oracle_sql())
     sql["mini_audio_stats"] = minidrill.mini_audio_stats_oracle_sql()
     sql["mini_audio_chunks"] = minidrill.mini_audio_chunks_oracle_sql()
+    sql["mini_audio_resample_stats"] = (
+        minidrill.mini_audio_resample_stats_oracle_sql())
     sql["mini_frame_sample_stats"] = (
         minidrill.mini_frame_sample_stats_oracle_sql())
 

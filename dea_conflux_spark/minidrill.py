@@ -731,6 +731,44 @@ def mini_audio_chunks_oracle_sql() -> str:
     """
 
 
+def mini_audio_resample_stats(spark, sf_dir: str):
+    """The decimation pass driven end-to-end by a second engine:
+    rawpcm decode -> keep every 2nd sample at sr/2 -> re-encode ->
+    feature pass.  The oracle aggregates the even-index rows of the
+    relational sample table at the halved rate, so the resampled BYTES
+    (not just the maths) are what is being checked — wrong stride, rate
+    or byte order would break duration, RMS and crossings at once."""
+    from .operators.multimodal import audio_resample, audio_stats
+
+    out = build()
+    clips = spark.read.parquet(os.path.join(out, "mini_audio.parquet"))
+    return audio_stats(audio_resample(clips, factor=2))
+
+
+def mini_audio_resample_stats_oracle_sql() -> str:
+    out = build()
+    samp = os.path.join(out, "mini_audio_samples.parquet")
+    return f"""
+        WITH s AS (
+          SELECT audio_id, idx, sample,
+                 CASE WHEN sample >= 0 THEN 1 ELSE 0 END AS nn,
+                 LAG(CASE WHEN sample >= 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY audio_id ORDER BY idx) AS prev_nn
+          FROM read_parquet('{samp}')
+          WHERE idx % 2 = 0
+        )
+        SELECT audio_id,
+               COUNT(*) / 4000.0 AS duration_sec,
+               floor(sqrt(SUM(CAST(sample AS DOUBLE) * sample)
+                          / COUNT(*)) * 10000 + 0.5) / 10000.0 AS rms,
+               CAST(MAX(abs(sample)) AS INT) AS peak,
+               CAST(SUM(CASE WHEN prev_nn IS NOT NULL
+                             AND nn <> prev_nn THEN 1 ELSE 0 END)
+                    AS INT) AS zero_crossings
+        FROM s GROUP BY audio_id
+    """
+
+
 def mini_image_resize_stats(spark, sf_dir: str):
     """The multimodal resize pass driven end-to-end by a second engine:
     decode -> nearest-neighbour 16x16 -> 8x8 -> re-encode raw -> decode

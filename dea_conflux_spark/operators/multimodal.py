@@ -212,6 +212,44 @@ def audio_chunks(clips: DataFrame, window_ms: int = 100,
                      "n_samples int, rms double, is_silence boolean"))
 
 
+def audio_resample(clips: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-factor decimation: keep every ``factor``-th sample and
+    divide the rate — the cheap sample-rate normalisation pass before a
+    uniform-rate training corpus (the audio analogue of the
+    nearest-neighbour image resize: deterministic index selection, no
+    interpolation; a band-limiting pre-filter would need scipy, which
+    this environment lacks — plug one in where noted).
+
+    Output keeps the clip schema (bytes/sr/n_samples refreshed), so the
+    pass composes with ``audio_stats`` / ``audio_chunks`` downstream.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.fmt != "rawpcm":
+                    raise NotImplementedError(
+                        f"audio codec '{r.fmt}' unavailable in this "
+                        "environment — plug a real decoder here "
+                        "(ffmpeg/soundfile); the plumbing is "
+                        "format-agnostic")
+                s = np.frombuffer(r.bytes, dtype="<i2")
+                # anti-alias filter would go here (scipy.signal.decimate)
+                d = s[::factor]
+                rows.append((r.audio_id, d.tobytes(),
+                             np.int32(int(r.sr) // factor),
+                             np.int32(len(d)), "rawpcm"))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "bytes", "sr", "n_samples", "fmt"])
+
+    return clips.mapInPandas(
+        run, schema=("audio_id string, bytes binary, sr int, "
+                     "n_samples int, fmt string"))
+
+
 def image_ahash(tiles: DataFrame, out_col: str = "ahash") -> DataFrame:
     """(image_id, <out_col>): perceptual average-hash per image, decoded
     and hashed inside the Arrow batch (core.codec.ahash64) — the

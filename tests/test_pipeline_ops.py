@@ -349,6 +349,21 @@ def test_audio_chunks(spark):
         assert out.loc[i, "rms"] == np.floor(rms * 10000 + 0.5) / 10000.0
 
 
+def test_audio_resample(spark):
+    s = np.arange(-500, 500, dtype=np.int16)
+    pdf = pd.DataFrame([{"audio_id": "a", "bytes": s.tobytes(),
+                         "sr": np.int32(8000), "n_samples": np.int32(1000),
+                         "fmt": "rawpcm"}])
+    df = spark.createDataFrame(
+        pdf, "audio_id string, bytes binary, sr int, n_samples int, "
+             "fmt string")
+    out = multimodal.audio_resample(df, factor=4).toPandas().iloc[0]
+    assert out["sr"] == 2000 and out["n_samples"] == 250
+    assert np.array_equal(np.frombuffer(out["bytes"], dtype="<i2"), s[::4])
+    with pytest.raises(ValueError):
+        multimodal.audio_resample(df, factor=0)
+
+
 def test_audio_codec_stubbed(spark):
     pdf = pd.DataFrame([{"audio_id": "x", "bytes": b"ID3\x04", "sr": np.int32(44100),
                          "n_samples": np.int32(0), "fmt": "mp3"}])
