@@ -182,6 +182,17 @@ def main():
           "(map-side per-doc top-k)",
           re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial",
                     tfidf_plan))
+    mix_plan = (sampling.mixture_sample(docs, {"src0": 0.5})
+                ._jdf.queryExecution().executedPlan().toString())
+    check("mixture_sample: shuffle-free pure-map plan (no Exchange)",
+          "Exchange" not in mix_plan)
+    pack_plan = (sampling.pack_sequences(docs, budget=64, n_shards=4)
+                 ._jdf.queryExecution().executedPlan().toString())
+    check("pack_sequences: exactly one Exchange, keyed by (group, shard) "
+          "— per-shard window cumsum, no global running-sum funnel",
+          pack_plan.count("Exchange hashpartitioning") == 1
+          and re.search(r"Exchange hashpartitioning\(source#\d+, shard#\d+",
+                        pack_plan))
 
     # ---- image near-dup: the banded pair join must be an equi-join on
     # (band, key) — never a cartesian/all-pairs product of the corpus
