@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": Q.docs_stratified_sample,
         "docs_pack_sequences": Q.docs_pack_sequences,
         "docs_mixture_sample": Q.docs_mixture_sample,
+        "doc_chunks": Q.doc_chunks,
+        "docs_quality_filter": Q.docs_quality_filter,
         # dedup family
         "docs_exact_dedup": Q.docs_exact_dedup,
         "docs_canonical_best_quality": Q.docs_canonical_best_quality,
@@ -579,6 +581,52 @@ def oracle_sql() -> dict[str, str]:
                mean_token_len,
                floor((least(1.0, n_tokens / 100.0) * 0.5 + stop_ratio * 0.3 + greatest(0.0, 0.2 - punct_ratio)) * 10000 + 0.5) / 10000.0 AS quality
         FROM m
+    """
+
+    # chunk_documents(chunk_tokens=64, overlap=16) -> stride 48; DuckDB
+    # list slices are 1-based inclusive like Spark's slice()
+    sql["doc_chunks"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        c AS (SELECT doc_id, toks,
+                     unnest(generate_series(0,
+                        CAST(ceil(len(toks) / 48.0) AS INT) - 1))
+                       AS chunk_idx
+              FROM t)
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(len(toks[chunk_idx*48+1 : chunk_idx*48+64]) AS INT)
+                 AS n_chunk_tokens,
+               array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64],
+                               ' ') AS chunk_text
+        FROM c
+    """
+
+    # quality_threshold_filter(quantile=0.5, by='lang'): Spark's exact
+    # percentile == DuckDB quantile_cont (parity proven by
+    # revenue_percentiles), so the cutoff comparison is bit-exact
+    sql["docs_quality_filter"] = f"""
+        WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks
+                   FROM documents),
+        m AS (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS INT) AS n_tokens,
+                 floor((len(regexp_extract_all(text, '[.,!?;:]'))
+                        / length(text)) * 10000 + 0.5) / 10000.0
+                   AS punct_ratio,
+                 floor((len(list_filter(toks, x -> x IN {_STOP}))
+                        / len(toks)) * 10000 + 0.5) / 10000.0
+                   AS stop_ratio
+          FROM t),
+        q AS (
+          SELECT doc_id, lang,
+                 floor((least(1.0, n_tokens / 100.0) * 0.5
+                        + stop_ratio * 0.3
+                        + greatest(0.0, 0.2 - punct_ratio))
+                       * 10000 + 0.5) / 10000.0 AS quality
+          FROM m),
+        c AS (SELECT lang, quantile_cont(quality, 0.5) AS cut
+              FROM q GROUP BY lang)
+        SELECT q.doc_id, q.lang, q.quality
+        FROM q JOIN c USING (lang) WHERE q.quality >= c.cut
     """
 
     marker = {

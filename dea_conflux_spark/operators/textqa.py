@@ -102,6 +102,65 @@ def quality_scores(docs: DataFrame, keep: tuple = ()) -> DataFrame:
         mean_len.alias("mean_token_len"), score.alias("quality"))
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 0) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_text) — split each
+    document into token-budget chunks for context-window-sized training
+    examples: chunk *i* covers tokens ``[i*stride, i*stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap`` (overlap
+    keeps boundary context; the final chunk may be short).
+
+    Entirely JVM expressions — tokenize once, ``sequence`` +
+    ``transform``/``slice`` build the chunk array, one ``explode``
+    fans out — so chunking is a narrow map over the scan (no Python,
+    no shuffle); the fan-out factor is bounded by doc length /
+    stride."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap} / "
+            f"{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.col("toks")
+    n = F.size(toks)
+    # tokens_col never yields an empty array (split('') == ['']), so
+    # every doc has >= 1 chunk and the sequence stop is >= 0
+    n_chunks = F.ceil(n / F.lit(float(stride))).cast("int")
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    d = (docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+         .select("doc_id", "toks", chunk))
+    piece = F.slice(toks, F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return d.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))
+
+
+def quality_threshold_filter(docs: DataFrame, quantile: float = 0.5,
+                             by: str = "lang") -> DataFrame:
+    """(doc_id, <by>, quality) — keep documents whose blended quality
+    score reaches their group's ``quantile`` cutoff: the
+    filter-by-corpus-statistics pass (drop the bottom half of each
+    language, say) that a pretraining pipeline runs after scoring.
+
+    Scale shape: the cutoffs are a per-group aggregate (groups are
+    few — languages/sources), broadcast back as a tiny dimension and
+    applied as a row-local comparison.  No per-group ranking window
+    ever sees the corpus — a ``percent_rank`` over a handful of group
+    partitions would funnel every row of a group through one reducer,
+    which is exactly the shape this avoids.  Exact ``percentile`` (==
+    DuckDB ``quantile_cont``) keeps the SQL oracle bit-exact; swap in
+    ``percentile_approx`` when group value buffers outgrow executor
+    memory."""
+    if not 0.0 <= quantile <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {quantile}")
+    qs = quality_scores(docs, keep=(by,)).select(by, "doc_id", "quality")
+    cuts = qs.groupBy(by).agg(
+        F.percentile("quality", quantile).alias("cut"))
+    return (qs.join(F.broadcast(cuts), by)
+            .filter(F.col("quality") >= F.col("cut"))
+            .select("doc_id", by, "quality"))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word language id: count each language's marker tokens; predict
     the argmax (ties / zero evidence -> 'unk').  Deterministic tie-break by

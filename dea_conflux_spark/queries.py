@@ -393,6 +393,16 @@ def docs_stratified_sample(spark, sf):
                                       strata=["lang"], per_stratum=20)
 
 
+def doc_chunks(spark, sf):
+    return textqa.chunk_documents(_t(spark, sf, "documents"),
+                                  chunk_tokens=64, overlap=16)
+
+
+def docs_quality_filter(spark, sf):
+    return textqa.quality_threshold_filter(_t(spark, sf, "documents"),
+                                           quantile=0.5, by="lang")
+
+
 def docs_mixture_sample(spark, sf):
     from .operators import sampling
 

@@ -628,6 +628,43 @@ def test_stratified_sample_fixed_size_and_stable(docs):
     assert key(pdf) == key(again)
 
 
+def test_chunk_documents_covers_and_overlaps(docs):
+    out = textqa.chunk_documents(docs, chunk_tokens=32, overlap=8).toPandas()
+    toks = {r["doc_id"]: r["t"] for _, r in
+            docs.select("doc_id", textqa.tokens_col(F.col("text"))
+                        .alias("t")).toPandas().iterrows()}
+    for doc_id, grp in out.groupby("doc_id"):
+        g = grp.sort_values("chunk_idx")
+        full = list(toks[doc_id])
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        for _, r in g.iterrows():
+            start = r["chunk_idx"] * 24  # stride = 32 - 8
+            want = full[start:start + 32]
+            assert r["chunk_text"].split(" ") == want
+            assert r["n_chunk_tokens"] == len(want)
+        # every token position is covered by some chunk
+        assert (len(g) - 1) * 24 + g.iloc[-1]["n_chunk_tokens"] == len(full)
+    with pytest.raises(ValueError):
+        textqa.chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
+def test_quality_threshold_filter_keeps_top_half(docs):
+    kept = textqa.quality_threshold_filter(docs, quantile=0.5,
+                                           by="lang").toPandas()
+    allq = textqa.quality_scores(docs, keep=("lang",)).toPandas()
+    for lang, grp in allq.groupby("lang"):
+        cut = grp["quality"].quantile(0.5, interpolation="linear")
+        want = set(grp.loc[grp["quality"] >= cut, "doc_id"])
+        got = set(kept.loc[kept["lang"] == lang, "doc_id"])
+        assert got == want
+        # a median screen keeps at least half, and not everything
+        # (unless the group is degenerate-constant)
+        if grp["quality"].nunique() > 1:
+            assert len(grp) / 2 <= len(got) < len(grp)
+    with pytest.raises(ValueError):
+        textqa.quality_threshold_filter(docs, quantile=1.5)
+
+
 def test_mixture_sample_rates_and_determinism(docs):
     from dea_conflux_spark.operators import sampling
 

@@ -182,6 +182,16 @@ def main():
           "(map-side per-doc top-k)",
           re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial",
                     tfidf_plan))
+    chunk_plan = (textqa.chunk_documents(docs, 64, 16)
+                  ._jdf.queryExecution().executedPlan().toString())
+    check("chunk_documents: shuffle-free narrow map (tokenize + "
+          "sequence/slice + one explode, no Exchange)",
+          "Exchange" not in chunk_plan)
+    qf_plan = (textqa.quality_threshold_filter(docs, 0.5)
+               ._jdf.queryExecution().executedPlan().toString())
+    check("quality_threshold_filter: cutoffs applied via broadcast "
+          "join — no per-group ranking window over the corpus",
+          "BroadcastHashJoin" in qf_plan and "Window" not in qf_plan)
     mix_plan = (sampling.mixture_sample(docs, {"src0": 0.5})
                 ._jdf.queryExecution().executedPlan().toString())
     check("mixture_sample: shuffle-free pure-map plan (no Exchange)",
