@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_sample": Q.docs_mixture_sample,
         "doc_chunks": Q.doc_chunks,
         "docs_quality_filter": Q.docs_quality_filter,
+        "embedding_quantize": Q.embedding_quantize,
         # dedup family
         "docs_exact_dedup": Q.docs_exact_dedup,
         "docs_canonical_best_quality": Q.docs_canonical_best_quality,
@@ -765,6 +766,24 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                  0) / 256) AS INT) AS seq_idx
         FROM t
+    """
+
+    # quantize_embeddings: codes from the full-precision scale, emitted
+    # scale 4-dp rounded; identical IEEE ops both engines
+    sql["embedding_quantize"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                       AS scale
+              FROM e)
+        SELECT vec_id,
+               floor(scale * 10000 + 0.5) / 10000.0 AS scale,
+               CASE WHEN scale > 0
+                    THEN list_transform(v,
+                         x -> CAST(floor(x / scale + 0.5) AS INT))
+                    ELSE list_transform(v, x -> 0) END AS qvec
+        FROM s
     """
 
     sql["embedding_label_centroids"] = """

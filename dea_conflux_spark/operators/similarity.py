@@ -75,7 +75,38 @@ def build_ivf(embeddings: DataFrame, n_centroids: int = 16):
     return assign, cents
 
 
-def label_centroids(embeddings: DataFrame) -> DataFrame:
+def quantize_embeddings(embeddings: DataFrame,
+                        vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, scale, qvec array<int>) — symmetric int8 quantization,
+    the 4x memory cut that keeps a 100 TB embedding corpus ANN-servable:
+    ``scale = max(|x|) / 127``, ``q_i = floor(x_i / scale + 0.5)`` in
+    [-127, 127] (half-up written as explicit floor arithmetic so Spark
+    and DuckDB round identically; all-zero vectors get scale 0 and zero
+    codes).
+
+    Row-local ``transform``/``aggregate`` expressions over the scan —
+    no shuffle, no Python — so quantization is a narrow map however
+    large the corpus.  ``dequantize = q_i * scale`` bounds per-element
+    error at scale/2; downstream dot products on int codes fold the two
+    scales out front."""
+    # NB the full-precision column must NOT be named "scale": the
+    # output aliases round4(...) AS scale, and Spark's lateral column
+    # alias resolution would silently quantize with the ROUNDED value
+    d = (embeddings
+         .select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+         .withColumn("fscale", F.aggregate(
+             F.col("v"), F.lit(0.0),
+             lambda acc, x: F.greatest(acc, F.abs(x))) / F.lit(127.0)))
+    q = F.when(
+        F.col("fscale") > 0,
+        F.transform(F.col("v"),
+                    lambda x: F.floor(x / F.col("fscale") + F.lit(0.5))
+                    .cast("int"))
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
+    # codes use the full-precision scale; the emitted scale is 4-dp
+    # rounded only for stable cross-engine display/compare
+    return d.select("vec_id", round4(F.col("fscale")).alias("scale"),
+                    q.alias("qvec"))
     """(label, pos, centroid, n_vecs) — per-label mean embedding, one row
     per (label, dimension).
 

@@ -420,6 +420,10 @@ def docs_pack_sequences(spark, sf):
                                    group_col="source", key_col="doc_id")
 
 
+def embedding_quantize(spark, sf):
+    return similarity.quantize_embeddings(_t(spark, sf, "embeddings"))
+
+
 def embedding_label_centroids(spark, sf):
     return similarity.label_centroids(_t(spark, sf, "embeddings"))
 

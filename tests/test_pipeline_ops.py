@@ -709,6 +709,33 @@ def test_pack_sequences_semantics_and_partition_invariant(docs):
     assert key(out) == key(again)
 
 
+def test_quantize_embeddings_vs_numpy(spark, embeddings):
+    out = similarity.quantize_embeddings(embeddings).toPandas()
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    for _, r in pdf.iterrows():
+        v = np.array(r["embedding"], dtype=np.float64)
+        scale = np.abs(v).max() / 127.0
+        got = out[out["vec_id"] == r["vec_id"]].iloc[0]
+        q = np.array(got["qvec"])
+        if scale == 0:
+            assert (q == 0).all() and got["scale"] == 0.0
+            continue
+        assert got["scale"] == np.floor(scale * 10000 + 0.5) / 10000.0
+        assert np.array_equal(q, np.floor(v / scale + 0.5).astype(int))
+        assert np.abs(q).max() <= 127
+        # dequantization error bounded by half a code step per element
+        assert np.abs(q * scale - v).max() <= scale / 2 + 1e-12
+    # all-zero vector edge case
+    z = spark.createDataFrame([(99999, [0.0, 0.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    zr = similarity.quantize_embeddings(z).toPandas().iloc[0]
+    assert zr["scale"] == 0.0 and list(zr["qvec"]) == [0, 0, 0]
+    # narrow map: quantization must not shuffle
+    plan = (similarity.quantize_embeddings(embeddings)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_label_centroids_vs_numpy(embeddings):
     out = similarity.label_centroids(embeddings).toPandas()
     pdf = embeddings.select("label", "embedding").toPandas()
