@@ -179,6 +179,24 @@ def _mini_frame_sample_stats(spark, sf_dir):
     return minidrill.mini_frame_sample_stats(spark, sf_dir)
 
 
+def _mini_image_flip(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_image_flip(spark, sf_dir)
+
+
+def _mini_image_patches(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_image_patches(spark, sf_dir)
+
+
+def _mini_chip_stats(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_chip_stats(spark, sf_dir)
+
+
 def _mini_wit(spark, sf_dir):
     from dea_conflux_spark import minidrill
 
@@ -263,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mini_image_neardup": _mini_image_neardup,
         "mini_image_resize_stats": _mini_image_resize_stats,
         "mini_image_histogram": _mini_image_histogram,
+        "mini_image_flip": _mini_image_flip,
+        "mini_image_patches": _mini_image_patches,
+        "mini_chip_stats": _mini_chip_stats,
         "mini_audio_stats": _mini_audio_stats,
         "mini_audio_chunks": _mini_audio_chunks,
         "mini_audio_resample_stats": _mini_audio_resample_stats,
@@ -1077,6 +1098,10 @@ def oracle_sql() -> dict[str, str]:
         minidrill.mini_image_resize_stats_oracle_sql())
     sql["mini_image_histogram"] = (
         minidrill.mini_image_histogram_oracle_sql())
+    sql["mini_image_flip"] = minidrill.mini_image_flip_oracle_sql()
+    sql["mini_image_patches"] = (
+        minidrill.mini_image_patches_oracle_sql())
+    sql["mini_chip_stats"] = minidrill.mini_chip_stats_oracle_sql()
     sql["mini_audio_stats"] = minidrill.mini_audio_stats_oracle_sql()
     sql["mini_audio_chunks"] = minidrill.mini_audio_chunks_oracle_sql()
     sql["mini_audio_resample_stats"] = (

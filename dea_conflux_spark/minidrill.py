@@ -975,3 +975,128 @@ def mini_drill_oracle_sql() -> str:
                n_missing / n_px AS pc_missing
         FROM agg
     """
+
+
+def _px_local_cte(px_path: str) -> str:
+    """Shared CTE: pixel table with tile id parts + LOCAL pixel indices
+    (row 0 = southernmost row, matching the engine's decode layout)."""
+    g = MINI_GRID
+    return f"""
+        px AS (
+          SELECT ts_idx,
+                 CAST(floor((x - {g.x_off}) / {g.px_res}) AS INT)
+                   // {g.w} AS gx,
+                 CAST(floor((y - {g.y_off}) / {g.px_res}) AS INT)
+                   // {g.h} AS gy,
+                 CAST(floor((x - {g.x_off}) / {g.px_res}) AS INT)
+                   % {g.w} AS lx,
+                 CAST(floor((y - {g.y_off}) / {g.px_res}) AS INT)
+                   % {g.h} AS ly,
+                 x, y, val
+          FROM read_parquet('{px_path}')
+        )"""
+
+
+_STATS_SELECT = """
+               SUM(val) / COUNT(*) AS px_mean,
+               floor(sqrt(SUM(CAST(val AS DOUBLE) * val) / COUNT(*)
+                          - (SUM(val) / COUNT(*))
+                            * (SUM(val) / COUNT(*))) * 10000 + 0.5)
+                 / 10000.0 AS px_std,
+               CAST(MIN(val) AS INT) AS px_min,
+               CAST(MAX(val) AS INT) AS px_max,
+               SUM(CASE WHEN (val & 128) > 0 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*) AS wet_frac"""
+
+
+def mini_image_flip(spark, sf_dir: str):
+    """The flip augmentation pass driven per-PIXEL by a second engine:
+    decode -> 180-degree flip (``hv``) -> re-encode -> explode back to
+    relational rows (decode_pixels), compared against the pixel table
+    with mirrored local indices.  Every output pixel of the augmented
+    image is checked — codec round-trip included — with no rounding
+    anywhere (integer values)."""
+    from .operators.multimodal import decode_pixels, flip_images
+
+    out = build()
+    tiles = spark.read.parquet(os.path.join(out, "mini_tiles.parquet"))
+    return decode_pixels(flip_images(tiles, mode="hv"))
+
+
+def mini_image_flip_oracle_sql() -> str:
+    out = build()
+    px = os.path.join(out, "mini_pixels.parquet")
+    g = MINI_GRID
+    return f"""
+        WITH {_px_local_cte(px)}
+        SELECT printf('t%04d_x%03d_y%03d#fhv', ts_idx, gx, gy)
+                 AS image_id,
+               {g.h - 1} - ly AS py, {g.w - 1} - lx AS px, val
+        FROM px
+    """
+
+
+def mini_image_patches(spark, sf_dir: str):
+    """ViT-style patch extraction driven by a second engine: 16x16 tiles
+    -> sixteen 4x4 patch images (crop + re-encode) -> decoded stats,
+    compared against the pixel table grouped by (tile, ly//4, lx//4).
+    Mean/min/max/wet fraction exact; std 4-dp rounded both sides."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import image_patches, image_stats
+    from .operators.textqa import round4
+
+    out = build()
+    tiles = spark.read.parquet(os.path.join(out, "mini_tiles.parquet"))
+    res = image_stats(image_patches(tiles, patch=4))
+    return res.select("image_id", "px_mean", round4(F.col("px_std"))
+                      .alias("px_std"), "px_min", "px_max", "wet_frac")
+
+
+def mini_image_patches_oracle_sql() -> str:
+    out = build()
+    px = os.path.join(out, "mini_pixels.parquet")
+    return f"""
+        WITH {_px_local_cte(px)}
+        SELECT printf('t%04d_x%03d_y%03d#p%02d_%02d', ts_idx, gx, gy,
+                      ly // 4, lx // 4) AS image_id,
+               {_STATS_SELECT}
+        FROM px GROUP BY image_id
+    """
+
+
+def mini_chip_stats(spark, sf_dir: str):
+    """Polygon-bbox training-chip extraction driven by a second engine:
+    broadcast range join (bbox intersects tile extent) -> decode -> crop
+    to the pixel-centre window -> re-encode -> decoded stats, compared
+    against the pixel table filtered to centres inside each polygon's
+    bbox.  Exercises clipping on every side: mini_rect_e overflows the
+    grid extent south-west, mini_rect_b spans a tile boundary."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import extract_chips, image_stats
+    from .operators.textqa import round4
+
+    out = build()
+    tiles = spark.read.parquet(os.path.join(out, "mini_tiles.parquet"))
+    bboxes = spark.read.parquet(os.path.join(out, "mini_bboxes.parquet"))
+    res = image_stats(extract_chips(tiles, bboxes, MINI_GRID))
+    return res.select("image_id", "px_mean", round4(F.col("px_std"))
+                      .alias("px_std"), "px_min", "px_max", "wet_frac")
+
+
+def mini_chip_stats_oracle_sql() -> str:
+    out = build()
+    px = os.path.join(out, "mini_pixels.parquet")
+    bb = os.path.join(out, "mini_bboxes.parquet")
+    return f"""
+        WITH {_px_local_cte(px)},
+        bb AS (SELECT * FROM read_parquet('{bb}'))
+        SELECT printf('%s@t%04d_x%03d_y%03d', bb.poly_id, ts_idx, gx, gy)
+                 AS image_id,
+               {_STATS_SELECT}
+        FROM px JOIN bb
+          ON px.x > bb.xmin AND px.x < bb.xmax
+         AND px.y > bb.ymin AND px.y < bb.ymax
+        GROUP BY image_id
+    """

@@ -308,3 +308,163 @@ def hash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3,
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (cand.select("id1", "id2", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def decode_pixels(tiles: DataFrame) -> DataFrame:
+    """(image_id, py, px, val): explode opaque image bytes into relational
+    pixel rows — the bridge from the binary column world to the SQL world
+    (the inverse of core.codec.encode).  Fan-out is h*w rows per image,
+    so this is a narrow map with large output: keep it behind a filter or
+    a small fixture, never over a full tile corpus.  Decode runs once per
+    image inside the Arrow batch; the coordinate grids come from one
+    cached meshgrid per (h, w) shape."""
+
+    def run(batches):
+        grids = {}
+        for pdf in batches:
+            for r in pdf.itertuples():
+                h, w = int(r.h), int(r.w)
+                if (h, w) not in grids:
+                    yy, xx = np.meshgrid(np.arange(h, dtype=np.int32),
+                                         np.arange(w, dtype=np.int32),
+                                         indexing="ij")
+                    grids[(h, w)] = (yy.ravel(), xx.ravel())
+                yy, xx = grids[(h, w)]
+                a = _decode_any(r.bytes, h, w, r.fmt)
+                yield pd.DataFrame({
+                    "image_id": r.image_id, "py": yy, "px": xx,
+                    "val": a.ravel().astype(np.int32)})
+
+    return tiles.mapInPandas(
+        run, schema="image_id string, py int, px int, val int")
+
+
+_FLIP_MODES = {"h", "v", "hv"}
+
+
+def flip_images(tiles: DataFrame, mode: str = "h") -> DataFrame:
+    """Deterministic flip augmentation: ``h`` mirrors columns, ``v``
+    mirrors rows, ``hv`` both (a 180-degree rotation).  Emits the same
+    tile schema with re-encoded bytes, ``#f<mode>``-suffixed ids and a
+    recomputed perceptual hash — a training-augmentation pass that stays
+    a narrow map (no shuffle; new ids keep augmented rows distinct from
+    originals when unioned)."""
+    if mode not in _FLIP_MODES:
+        raise ValueError(f"mode must be one of {sorted(_FLIP_MODES)}")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                a = _decode_any(r.bytes, int(r.h), int(r.w), r.fmt)
+                if "v" in mode:
+                    a = a[::-1, :]
+                if "h" in mode:
+                    a = a[:, ::-1]
+                a = np.ascontiguousarray(a)
+                rows.append((f"{r.image_id}#f{mode}",
+                             codec.encode(a, "raw"), int(r.w), int(r.h),
+                             "raw", r.caption,
+                             np.int64(codec.phash64(a))))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+
+    return tiles.mapInPandas(
+        run, schema=("image_id string, bytes binary, w int, h int, "
+                     "fmt string, caption string, phash long"))
+
+
+def image_patches(tiles: DataFrame, patch: int = 4) -> DataFrame:
+    """ViT-style non-overlapping patch extraction: each (h x w) image
+    explodes into (h//patch) * (w//patch) patch images of shape
+    (patch x patch), ids suffixed ``#p<row>_<col>``.  Images whose sides
+    are not multiples of ``patch`` keep only full patches (standard ViT
+    cropping).  A narrow map — patch tensors are re-encoded raw bytes in
+    the same tile schema, ready for the same downstream passes
+    (image_stats, ahash, packing)."""
+    if patch < 1:
+        raise ValueError("patch must be >= 1")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                a = _decode_any(r.bytes, int(r.h), int(r.w), r.fmt)
+                for py in range(int(r.h) // patch):
+                    for px in range(int(r.w) // patch):
+                        b = np.ascontiguousarray(
+                            a[py * patch:(py + 1) * patch,
+                              px * patch:(px + 1) * patch])
+                        rows.append((f"{r.image_id}#p{py:02d}_{px:02d}",
+                                     codec.encode(b, "raw"),
+                                     patch, patch, "raw", r.caption,
+                                     np.int64(codec.phash64(b))))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+
+    return tiles.mapInPandas(
+        run, schema=("image_id string, bytes binary, w int, h int, "
+                     "fmt string, caption string, phash long"))
+
+
+def extract_chips(tiles: DataFrame, bboxes: DataFrame, grid,
+                  fmt: str = "raw") -> DataFrame:
+    """Training-chip extraction: crop every tile to each overlapping
+    polygon bounding box (reference parity: the polygon rasterise window
+    of dea_conflux/drill.py — here the crop itself is the product, the
+    standard way ML training chips are cut from a tiled raster store).
+
+    ``bboxes`` is a small dimension ``(poly_id, xmin, ymin, xmax, ymax)``
+    in world coordinates; ``grid`` a datagen.GridSpec giving the tile
+    georeference.  The tile-x-bbox pairing is a broadcast nested-loop
+    range join on bbox-intersects-tile-extent (the dim is polygon-count
+    sized — broadcastable by construction; for huge polygon sets use the
+    drill's cell-cover join instead), so tile BYTES never shuffle: decode
+    + crop run in the same Arrow batch that scanned the tile.
+
+    A pixel belongs to a chip iff its CENTRE lies inside the bbox
+    (half-open handling never ambiguous while bbox edges avoid the
+    centre lattice).  Rows: ``(image_id, poly_id, lx0, ly0, bytes, w, h,
+    fmt, caption, phash)`` with ``image_id = '<poly_id>@<tile_id>'`` and
+    (lx0, ly0) the crop's pixel offset inside the source tile."""
+    from .tilecells import tile_meta
+
+    res = float(grid.px_res)
+    meta = tile_meta(tiles, grid).select("image_id", "x0", "y0")
+    src = tiles.select("image_id", "bytes", "w", "h", "fmt").join(
+        meta, "image_id")
+    b = F.broadcast(bboxes.select("poly_id", "xmin", "ymin",
+                                  "xmax", "ymax"))
+    cand = src.join(
+        b, (F.col("xmin") < F.col("x0") + F.col("w") * F.lit(res))
+           & (F.col("xmax") > F.col("x0"))
+           & (F.col("ymin") < F.col("y0") + F.col("h") * F.lit(res))
+           & (F.col("ymax") > F.col("y0")))
+
+    def run(batches):
+        import math
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                h, w = int(r.h), int(r.w)
+                lx0 = max(0, math.ceil((r.xmin - r.x0) / res - 0.5))
+                lx1 = min(w - 1, math.floor((r.xmax - r.x0) / res - 0.5))
+                ly0 = max(0, math.ceil((r.ymin - r.y0) / res - 0.5))
+                ly1 = min(h - 1, math.floor((r.ymax - r.y0) / res - 0.5))
+                if lx1 < lx0 or ly1 < ly0:
+                    continue
+                a = _decode_any(r.bytes, h, w, r.fmt)
+                chip = np.ascontiguousarray(a[ly0:ly1 + 1, lx0:lx1 + 1])
+                rows.append((f"{r.poly_id}@{r.image_id}", r.poly_id,
+                             int(lx0), int(ly0), codec.encode(chip, fmt),
+                             chip.shape[1], chip.shape[0], fmt,
+                             f"chip {r.poly_id}",
+                             np.int64(codec.phash64(chip))))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "poly_id", "lx0", "ly0", "bytes", "w", "h",
+                "fmt", "caption", "phash"])
+
+    return cand.mapInPandas(
+        run, schema=("image_id string, poly_id string, lx0 int, ly0 int, "
+                     "bytes binary, w int, h int, fmt string, "
+                     "caption string, phash long"))

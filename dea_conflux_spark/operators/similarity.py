@@ -107,6 +107,9 @@ def quantize_embeddings(embeddings: DataFrame,
     # rounded only for stable cross-engine display/compare
     return d.select("vec_id", round4(F.col("fscale")).alias("scale"),
                     q.alias("qvec"))
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
     """(label, pos, centroid, n_vecs) — per-label mean embedding, one row
     per (label, dimension).
 

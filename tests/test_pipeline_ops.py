@@ -1002,3 +1002,100 @@ def test_scrub_text_masks_pii_and_is_noop_on_clean_text(spark):
     assert got[2] == "see <URL>\tnext"
     assert got[3] == "call <PHONE> or <PHONE>"
     assert got[4] == "nothing to hide here"  # clean text untouched
+
+
+def _rand_tiles_df(spark, n=3, h=8, w=8, seed=11):
+    from dea_conflux_spark.core import codec
+    rng = np.random.default_rng(seed)
+    imgs = {f"i{k}": rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            for k in range(n)}
+    pdf = pd.DataFrame([{
+        "image_id": k, "bytes": codec.encode(a, "raw"),
+        "w": np.int32(w), "h": np.int32(h), "fmt": "raw", "caption": "",
+        "phash": np.int64(0)} for k, a in imgs.items()])
+    return imgs, spark.createDataFrame(pdf, datagen.TILE_SCHEMA)
+
+
+def test_decode_pixels_roundtrip(spark):
+    """decode_pixels is the exact inverse of the codec: reassembling the
+    exploded rows by (py, px) reproduces every source array."""
+    imgs, df = _rand_tiles_df(spark, n=3)
+    out = multimodal.decode_pixels(df).toPandas()
+    assert len(out) == 3 * 64
+    for k, a in imgs.items():
+        sub = out[out.image_id == k]
+        back = np.zeros_like(a)
+        back[sub.py.values, sub.px.values] = sub.val.values
+        assert (back == a).all()
+
+
+def test_flip_images_modes(spark):
+    from dea_conflux_spark.core import codec
+    imgs, df = _rand_tiles_df(spark, n=2, seed=12)
+    for mode, op in (("h", lambda a: a[:, ::-1]),
+                     ("v", lambda a: a[::-1, :]),
+                     ("hv", lambda a: a[::-1, ::-1])):
+        out = multimodal.flip_images(df, mode=mode).toPandas()
+        for r in out.itertuples():
+            src, suf = r.image_id.rsplit("#f", 1)
+            assert suf == mode
+            got = codec.decode(r.bytes, r.h, r.w, r.fmt)
+            assert (got == op(imgs[src])).all()
+    with pytest.raises(ValueError):
+        multimodal.flip_images(df, mode="x")
+
+
+def test_image_patches_reassemble(spark):
+    """4x4 patches of an 8x8 image tile the source exactly: pasting every
+    patch back at (py*4, px*4) reproduces the array, and patch count is
+    (h//p)*(w//p) with remainders cropped."""
+    from dea_conflux_spark.core import codec
+    imgs, df = _rand_tiles_df(spark, n=2, seed=13)
+    out = multimodal.image_patches(df, patch=4).toPandas()
+    assert len(out) == 2 * 4
+    for src, a in imgs.items():
+        back = np.zeros_like(a)
+        for r in out.itertuples():
+            base, suf = r.image_id.rsplit("#p", 1)
+            if base != src:
+                continue
+            py, px = (int(v) for v in suf.split("_"))
+            back[py * 4:py * 4 + 4, px * 4:px * 4 + 4] = \
+                codec.decode(r.bytes, 4, 4, "raw")
+        assert (back == a).all()
+    # non-multiple side: 8x8 with patch=3 keeps 2x2 full patches
+    out3 = multimodal.image_patches(df, patch=3).toPandas()
+    assert len(out3) == 2 * 4
+    with pytest.raises(ValueError):
+        multimodal.image_patches(df, patch=0)
+
+
+def test_extract_chips_clipping(spark):
+    """Chips equal the numpy crop of the pixel-centre window, clipped to
+    each tile; a bbox outside every tile yields no chip."""
+    from dea_conflux_spark import minidrill
+    from dea_conflux_spark.core import codec
+
+    out = minidrill.build()
+    tiles = spark.read.parquet(out + "/mini_tiles.parquet")
+    g = minidrill.MINI_GRID
+    bb = spark.createDataFrame(pd.DataFrame({
+        "poly_id": ["in_a", "far"],
+        "xmin": [100130.3, 900000.0], "ymin": [100050.7, 900000.0],
+        "xmax": [100410.9, 900100.0], "ymax": [100350.1, 900100.0]}))
+    chips = multimodal.extract_chips(tiles, bb, g).toPandas()
+    assert set(chips.poly_id) == {"in_a"}
+    import math
+    for r in chips.itertuples():
+        pid, iid = r.image_id.split("@")
+        ts, gx, gy = (int(iid[1:5]), int(iid[7:10]), int(iid[12:15]))
+        a = minidrill._pixel_values(ts, gx, gy)
+        x0, y0 = g.tile_origin(gx, gy)
+        lx0 = max(0, math.ceil((100130.3 - x0) / g.px_res - 0.5))
+        lx1 = min(g.w - 1, math.floor((100410.9 - x0) / g.px_res - 0.5))
+        ly0 = max(0, math.ceil((100050.7 - y0) / g.px_res - 0.5))
+        ly1 = min(g.h - 1, math.floor((100350.1 - y0) / g.px_res - 0.5))
+        exp = a[ly0:ly1 + 1, lx0:lx1 + 1]
+        got = codec.decode(r.bytes, r.h, r.w, "raw")
+        assert (got == exp).all()
+        assert (r.lx0, r.ly0) == (lx0, ly0)
