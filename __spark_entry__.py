@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_signals": Q.doc_repetition_signals,
         "doc_fingerprints": Q.doc_fingerprints,
         "doc_tfidf_top_terms": Q.doc_tfidf_top_terms,
+        "doc_bm25_topk": Q.doc_bm25_topk,
         "docs_top_bigrams": Q.docs_top_bigrams,
         # deterministic sampling / splits
         "docs_split_assign": Q.docs_split_assign,
@@ -732,6 +733,34 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                   ORDER BY tfidf DESC, term) AS rnk FROM sc)
         WHERE rnk <= 3
+    """
+
+    # constants mirrored from textqa.bm25_topk: k1=1.2 b=0.75 k=10,
+    # query terms textqa.BM25_QUERY_TERMS, Lucene idf, 6-dp-pinned
+    # per-term contributions summed then 4-dp rounded (both engines)
+    sql["doc_bm25_topk"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        hits AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits
+               WHERE term IN ('spark', 'query', 'scan') GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        sc AS (SELECT tf.doc_id,
+                      floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                            * (tf * (1.2 + 1.0)
+                               / (tf + 1.2 * (1.0 - 0.75
+                                              + 0.75 * dl / avgdl)))
+                            * 1000000 + 0.5) / 1000000.0 AS contrib
+               FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+               CROSS JOIN st),
+        pd AS (SELECT doc_id,
+                      floor(sum(contrib) * 10000 + 0.5) / 10000.0 AS score
+               FROM sc GROUP BY 1)
+        SELECT doc_id, score, CAST(rnk AS INT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                    AS rnk FROM pd)
+        WHERE rnk <= 10
     """
 
     sql["docs_top_bigrams"] = f"""

@@ -335,3 +335,53 @@ def scrub_text(docs: DataFrame, text_col: str = "text",
     for _, pat, repl in SCRUB_PATTERNS:
         col = F.regexp_replace(col, pat, repl)
     return docs.withColumn(out_col, col)
+
+
+# Default ad-hoc search terms for the BM25 demo entry — chosen from the
+# synthetic corpus vocabulary so the query is non-vacuous at every SF.
+BM25_QUERY_TERMS = ("spark", "query", "scan")
+
+
+def bm25_topk(docs: DataFrame, query_terms=BM25_QUERY_TERMS, k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """(doc_id, score, rnk) — the ``k`` documents best matching
+    ``query_terms`` under Okapi BM25 (Lucene's idf convention,
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    The retrieval scorer of a training-data curation loop (query-targeted
+    subcorpus extraction, contamination triage).  Plan shape at scale:
+    one explode filtered to the |Q| query terms BEFORE any aggregation —
+    the term filter prunes the exploded stream to matching rows only, so
+    the shuffled tf table is O(matching doc-terms), not corpus-sized;
+    doc lengths come from a separate size() projection aggregated
+    map-side; N/avgdl is a one-row broadcast; df is a |Q|-row broadcast.
+    Per-term contributions are 6-dp pinned before the final sum so the
+    Spark and DuckDB oracles add identical doubles.  No Python anywhere.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    hits = (toks.select("doc_id", F.explode("toks").alias("term"))
+            .filter(F.col("term").isin(terms)))
+    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf_part = (F.col("tf") * (F.lit(k1) + 1.0)
+               / (F.col("tf") + F.lit(k1)
+                  * (F.lit(1.0) - F.lit(b)
+                     + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+    contrib = F.floor(idf * tf_part * 1000000 + F.lit(0.5)) / F.lit(1e6)
+    scored = (tf.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id", contrib.alias("contrib")))
+    per_doc = scored.groupBy("doc_id").agg(
+        round4(F.sum("contrib")).alias("score"))
+    # top-k via orderBy().limit() — Spark plans TakeOrderedAndProject
+    # (per-partition heaps + driver merge of k rows), so no global
+    # single-reducer sort; the rank window then runs over k rows only
+    topk = per_doc.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return topk.withColumn("rnk", F.row_number().over(w))

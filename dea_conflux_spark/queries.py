@@ -375,6 +375,10 @@ def doc_tfidf_top_terms(spark, sf):
     return textqa.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
 
 
+def doc_bm25_topk(spark, sf):
+    return textqa.bm25_topk(_t(spark, sf, "documents"), k=10)
+
+
 def docs_top_bigrams(spark, sf):
     return textqa.top_bigrams(_t(spark, sf, "documents"), k=20)
 

@@ -1099,3 +1099,37 @@ def test_extract_chips_clipping(spark):
         got = codec.decode(r.bytes, r.h, r.w, "raw")
         assert (got == exp).all()
         assert (r.lx0, r.ly0) == (lx0, ly0)
+
+
+def test_bm25_topk_vs_python(docs):
+    """bm25_topk matches a from-scratch python Okapi BM25 (Lucene idf)
+    with the same 6-dp contribution pinning and 4-dp final rounding."""
+    terms = ("spark", "query", "scan")
+    out = textqa.bm25_topk(docs, query_terms=terms, k=5).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    import math
+    import re as _re
+
+    tok = {r.doc_id: _re.sub(r"[^a-z0-9]+", " ",
+                             r.text.lower()).strip().split()
+           for r in pdf.itertuples()}
+    n = len(tok)
+    avgdl = sum(len(t) for t in tok.values()) / n
+    df_ct = {q: sum(1 for ts in tok.values() if q in ts) for q in terms}
+    scores = {}
+    for d, ts in tok.items():
+        s = 0.0
+        for q in terms:
+            tf = ts.count(q)
+            if not tf or not df_ct[q]:
+                continue
+            idf = math.log(1.0 + (n - df_ct[q] + 0.5) / (df_ct[q] + 0.5))
+            part = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+            s += math.floor(idf * part * 1e6 + 0.5) / 1e6
+        if s > 0:
+            scores[d] = math.floor(s * 10000 + 0.5) / 10000.0
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(out.sort_values("rnk")[["doc_id", "score"]]
+               .itertuples(index=False, name=None))
+    assert got == want
+    assert out["rnk"].sort_values().tolist() == list(range(1, 6))
