@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": Q.embedding_neardup,
         # similarity search
         "embedding_label_centroids": Q.embedding_label_centroids,
+        "embedding_kmeans_assign": Q.embedding_kmeans_assign,
+        "embedding_semantic_dedup": Q.embedding_semantic_dedup,
         "ann_brute_topk": Q.ann_brute_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
         # rows-only: approximate configuration, recall floor in tests
@@ -316,6 +318,50 @@ _REV = (f"{_dec('l_extendedprice')} * ({_DEC1} - {_dec('l_discount')})")
 _EMB_COS = ("list_dot_product({a}, {b}) / "
             "(sqrt(list_dot_product({a}, {a})) * "
             "sqrt(list_dot_product({b}, {b})))")
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """Unrolled deterministic Lloyd's k-means as chained DuckDB CTEs —
+    the second-engine twin of ``similarity.kmeans_assign`` (same init =
+    k smallest vec_ids, squared-euclidean, ties to the smallest cid,
+    per-(cluster, dim) means 6-dp pinned each round, empty cluster keeps
+    its previous centroid).  Ends at CTE ``af`` (vec_id, cid, dist)."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "ev AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, "
+        "unnest(v) AS val FROM e)",
+        f"cinit AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
+        f"AS cid FROM (SELECT vec_id, v FROM e ORDER BY vec_id "
+        f"LIMIT {k}) s)",
+        "c0 AS (SELECT cid, generate_subscripts(v, 1) AS pos, "
+        "unnest(v) AS val FROM cinit)",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts += [
+            f"d{i} AS (SELECT ev.vec_id, c.cid, "
+            f"sum((ev.val - c.val) * (ev.val - c.val)) AS dist "
+            f"FROM ev JOIN {prev} c USING (pos) GROUP BY 1, 2)",
+            f"a{i} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, cid) AS rk FROM d{i}) WHERE rk = 1)",
+            f"m{i} AS (SELECT a.cid, ev.pos, "
+            f"floor(avg(ev.val) * 1000000 + 0.5) / 1000000.0 AS val "
+            f"FROM a{i} a JOIN ev ON ev.vec_id = a.vec_id GROUP BY 1, 2)",
+            f"c{i} AS (SELECT p.cid, p.pos, COALESCE(m.val, p.val) AS val "
+            f"FROM {prev} p LEFT JOIN m{i} m "
+            f"ON m.cid = p.cid AND m.pos = p.pos)",
+        ]
+        prev = f"c{i}"
+    parts += [
+        f"df AS (SELECT ev.vec_id, c.cid, "
+        f"sum((ev.val - c.val) * (ev.val - c.val)) AS dist "
+        f"FROM ev JOIN {prev} c USING (pos) GROUP BY 1, 2)",
+        "af AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid, dist, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) "
+        "AS rk FROM df) WHERE rk = 1)",
+    ]
+    return ",\n        ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1089,6 +1135,30 @@ def oracle_sql() -> dict[str, str]:
                floor(({cos_ab}) * 10000 + 0.5) / 10000.0 AS cosine
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE floor(({cos_ab}) * 10000 + 0.5) / 10000.0 >= 0.35
+    """
+
+    # constants mirrored from queries.embedding_kmeans_assign /
+    # embedding_semantic_dedup: k=4, iters=2, tau=0.35
+    sql["embedding_kmeans_assign"] = f"""
+        WITH {_kmeans_ctes(4, 2)}
+        SELECT vec_id, CAST(cid AS INT) AS cluster,
+               floor(dist * 10000 + 0.5) / 10000.0 AS dist
+        FROM af
+    """
+
+    cos_xy = _EMB_COS.format(a="x.v", b="y.v")
+    sql["embedding_semantic_dedup"] = f"""
+        WITH {_kmeans_ctes(4, 2)},
+        av AS (SELECT af.vec_id, af.cid, e.v
+               FROM af JOIN e USING (vec_id)),
+        dropped AS (SELECT DISTINCT x.vec_id
+                    FROM av x JOIN av y
+                      ON x.cid = y.cid AND y.vec_id < x.vec_id
+                    WHERE floor(({cos_xy}) * 10000 + 0.5) / 10000.0
+                          >= 0.35)
+        SELECT a.vec_id, CAST(a.cid AS INT) AS cluster,
+               (d.vec_id IS NULL) AS keep
+        FROM af a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     """
 
     cos_qv = _EMB_COS.format(a="qv", b="v")

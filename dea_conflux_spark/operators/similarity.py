@@ -186,3 +186,88 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("qid", "vec_id", round4(F.col("cos_raw")).alias("cosine"),
                     "rank"))
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 4,
+                  iters: int = 2) -> DataFrame:
+    """(vec_id, cluster, dist) — deterministic Lloyd's k-means over the
+    embedding column: init = the vectors of the ``k`` smallest vec_ids,
+    ``iters`` assign/update rounds, squared-euclidean distance, ties to
+    the smallest centroid id, per-(cluster, dim) means 6-dp pinned after
+    every update so independent engines iterate over identical centroid
+    state.  Returns the FINAL assignment with its 4-dp distance.
+
+    Plan shape at scale: centroids are k x dim driver state (same
+    size-gated pattern as ``build_ivf``; k*dim doubles, never
+    data-sized), embedded as literal arrays so each assign round is one
+    narrow projection over the vectors — no join, no shuffle.  Each
+    update round is one posexplode + hash aggregate on (cluster, pos)
+    (k*dim groups, map-side combined).  Total: ``iters`` shuffles of
+    k*dim-group aggregates; the vectors themselves are scanned, never
+    shuffled.  An empty cluster keeps its previous centroid."""
+    e = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"))
+    init = (embeddings.orderBy("vec_id").limit(k)
+            .select(_as_double(F.col("embedding")).alias("v")).collect())
+    cents = [list(r.v) for r in init]
+
+    def dist_to(c):
+        lits = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lits, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def assign():
+        pick = F.array_min(F.array(*[
+            F.struct(dist_to(c).alias("d"), F.lit(j).alias("c"))
+            for j, c in enumerate(cents)]))
+        return e.select("vec_id", "v",
+                        pick.getField("c").alias("cluster"),
+                        pick.getField("d").alias("dist"))
+
+    for _ in range(iters):
+        a = assign()
+        means = (a.select("cluster", F.posexplode("v").alias("pos", "val"))
+                 .groupBy("cluster", "pos")
+                 .agg((F.floor(F.avg("val") * 1000000 + F.lit(0.5))
+                       / F.lit(1e6)).alias("m"))
+                 .collect())
+        upd = {}
+        for r in means:
+            upd.setdefault(r.cluster, dict())[r.pos] = r.m
+        cents = [[upd[j][p] for p in range(len(c))] if j in upd else c
+                 for j, c in enumerate(cents)]
+    return assign().select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"),
+        round4(F.col("dist")).alias("dist"))
+
+
+def semantic_dedup(embeddings: DataFrame, k: int = 4, iters: int = 2,
+                   tau: float = 0.35) -> DataFrame:
+    """(vec_id, cluster, keep) — SemDeDup-style semantic deduplication
+    (Abbas et al. 2023): k-means-cluster the embedding space, compare
+    cosines only WITHIN a cluster, and drop every vector that has a
+    4-dp cosine >= ``tau`` to a lower-id vector of its cluster (the
+    lowest id of each near-duplicate neighbourhood survives).
+
+    The cluster equi-join bounds candidate generation exactly like the
+    LSH/label blocking elsewhere in the dedup family — never all-pairs;
+    at corpus scale the cluster count scales with n (SemDeDup uses
+    sqrt(n)) to cap per-cluster quadratic work, and a skewed giant
+    cluster is split by raising k, not salted (cluster ids ARE the
+    blocking key)."""
+    a = kmeans_assign(embeddings, k=k, iters=iters)
+    e = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"))
+    av = a.join(e, "vec_id").select("vec_id", "cluster", "v")
+    x, y = av.alias("x"), av.alias("y")
+    cos = _dot(F.col("x.v"), F.col("y.v")) / (
+        _norm(F.col("x.v")) * _norm(F.col("y.v")))
+    dropped = (x.join(y, (F.col("x.cluster") == F.col("y.cluster"))
+                      & (F.col("y.vec_id") < F.col("x.vec_id")))
+               .filter(round4(cos) >= tau)
+               .select(F.col("x.vec_id").alias("vec_id")).distinct())
+    return (a.join(dropped.withColumn("_drop", F.lit(True)),
+                   "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")))

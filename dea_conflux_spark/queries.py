@@ -432,6 +432,16 @@ def embedding_label_centroids(spark, sf):
     return similarity.label_centroids(_t(spark, sf, "embeddings"))
 
 
+def embedding_kmeans_assign(spark, sf):
+    return similarity.kmeans_assign(_t(spark, sf, "embeddings"),
+                                    k=4, iters=2)
+
+
+def embedding_semantic_dedup(spark, sf):
+    return similarity.semantic_dedup(_t(spark, sf, "embeddings"),
+                                     k=4, iters=2, tau=0.35)
+
+
 def docs_exact_dedup(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 

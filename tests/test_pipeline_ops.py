@@ -1133,3 +1133,51 @@ def test_bm25_topk_vs_python(docs):
                .itertuples(index=False, name=None))
     assert got == want
     assert out["rnk"].sort_values().tolist() == list(range(1, 6))
+
+
+def test_kmeans_assign_vs_numpy(embeddings):
+    """kmeans_assign matches a from-scratch numpy Lloyd's with the same
+    deterministic init, 6-dp centroid pinning, and tie rule."""
+    import numpy as np
+
+    out = similarity.kmeans_assign(embeddings, k=4, iters=2).toPandas()
+    pdf = (embeddings.select("vec_id", "embedding").toPandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents = X[:4].copy()
+    for it in range(3):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin ties -> lowest index
+        if it == 2:
+            break
+        for j in range(4):
+            sel = X[assign == j]
+            if len(sel):
+                cents[j] = np.floor(sel.mean(axis=0) * 1e6 + 0.5) / 1e6
+    got = out.sort_values("vec_id")
+    assert got["cluster"].to_numpy().tolist() == assign.tolist()
+    want_d = np.floor(d[np.arange(len(X)), assign] * 1e4 + 0.5) / 1e4
+    assert np.allclose(got["dist"].to_numpy(), want_d, atol=2e-4)
+
+
+def test_semantic_dedup_keep_rule(embeddings):
+    """Every dropped vector has a kept-or-dropped lower-id 0.35-cosine
+    neighbour in its own cluster; the lowest id of each cluster is
+    always kept; no cross-cluster pair influences the decision."""
+    import numpy as np
+
+    out = similarity.semantic_dedup(
+        embeddings, k=4, iters=2, tau=0.35).toPandas()
+    pdf = (embeddings.select("vec_id", "embedding").toPandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cl = out.sort_values("vec_id")["cluster"].to_numpy()
+    keep = out.sort_values("vec_id")["keep"].to_numpy()
+    cos = np.floor(Xn @ Xn.T * 1e4 + 0.5) / 1e4
+    ids = pdf["vec_id"].to_numpy()
+    for i in range(len(ids)):
+        lower_same = (ids < ids[i]) & (cl == cl[i])
+        has_dup = bool((cos[i][lower_same] >= 0.35).any())
+        assert keep[i] == (not has_dup), ids[i]
+    assert (~keep).sum() > 0  # gate is non-vacuous
