@@ -219,6 +219,36 @@ def main():
            and "BroadcastNestedLoopJoin" not in nd_plan
            and re.search(r"\[band#\d+L?, key#\d+L?\]", nd_plan)))
 
+    # ---- BM25 retrieval: the global top-k must be TakeOrderedAndProject
+    # (per-partition heaps + driver k-row merge), never a one-reducer
+    # global sort of the scored corpus
+    bm25_plan = (textqa.bm25_topk(docs, k=10)
+                 ._jdf.queryExecution().executedPlan().toString())
+    check("bm25_topk: global top-k via TakeOrderedAndProject — no "
+          "single-reducer corpus sort",
+          "TakeOrderedAndProject" in bm25_plan)
+
+    # ---- k-means: each assign round embeds the k x dim centroids as
+    # literals, so the returned (final-assignment) plan is a pure narrow
+    # map over the vectors — no join, no Exchange anywhere
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from dea_conflux_spark.operators import similarity
+
+    km_plan = (similarity.kmeans_assign(emb, k=4, iters=1)
+               ._jdf.queryExecution().executedPlan().toString())
+    check("kmeans_assign: final assignment is a shuffle-free narrow map "
+          "(centroids are literals — no Exchange, no join)",
+          "Exchange" not in km_plan and "Join" not in km_plan)
+
+    # ---- semantic dedup: the within-cluster pair join must be an
+    # equi-join on the cluster id — never a cartesian/all-pairs product
+    sd_plan = (similarity.semantic_dedup(emb, k=4, iters=1)
+               ._jdf.queryExecution().executedPlan().toString())
+    check("semantic_dedup: cluster-blocked equi-join pair generation, "
+          "no cartesian/all-pairs product",
+          "CartesianProduct" not in sd_plan
+          and "BroadcastNestedLoopJoin" not in sd_plan)
+
     out = ["# PLANS — flagship drill physical plan audit", "",
            "Generated by tools/explain_drill.py (re-run after plan-shaping",
            "changes).  Assertions verified on this plan:", ""]
