@@ -450,6 +450,8 @@ def run_queries(spark, sf_dir: str) -> dict:
         "doc_token_counts", "docs_exact_dedup", "docs_ngram_jaccard_pairs",
         "docs_minhash_rows", "docs_simhash", "ann_brute_topk",
         "ann_ivf_topk", "doc_tfidf_top_terms", "embedding_label_centroids",
+        "doc_bm25_topk", "embedding_kmeans_assign",
+        "embedding_semantic_dedup",
     ]
     qs = em.queries()
     # warm the session once (JVM/codegen spin-up + first parquet footer

@@ -250,23 +250,40 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iters: int = 2,
     4-dp cosine >= ``tau`` to a lower-id vector of its cluster (the
     lowest id of each near-duplicate neighbourhood survives).
 
-    The cluster equi-join bounds candidate generation exactly like the
-    LSH/label blocking elsewhere in the dedup family — never all-pairs;
-    at corpus scale the cluster count scales with n (SemDeDup uses
-    sqrt(n)) to cap per-cluster quadratic work, and a skewed giant
-    cluster is split by raising k, not salted (cluster ids ARE the
-    blocking key)."""
-    a = kmeans_assign(embeddings, k=k, iters=iters)
+    Clustering bounds candidate generation exactly like the LSH/label
+    blocking elsewhere in the dedup family — never all-pairs across the
+    corpus.  Within a cluster the pairwise cosines are computed by ONE
+    dense BLAS matmul per cluster group inside ``applyInPandas`` (an
+    expression-level pair self-join was measured 14 s at 2k vectors —
+    millions of interpreted higher-order-function evals; the matmul is
+    milliseconds).  At corpus scale the cluster count scales with n
+    (SemDeDup uses sqrt(n)) so the per-group m x m work and the m x m
+    cosine block both stay bounded; a skewed giant cluster is split by
+    raising k, not salted (cluster ids ARE the blocking key)."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _once
+
+    # the assignment feeds both the dropped-set pass and the output
+    # join; the checkpoint computes the literal-centroid assign
+    # expression once instead of once per consumer
+    a = _once(kmeans_assign(embeddings, k=k, iters=iters))
     e = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("v"))
     av = a.join(e, "vec_id").select("vec_id", "cluster", "v")
-    x, y = av.alias("x"), av.alias("y")
-    cos = _dot(F.col("x.v"), F.col("y.v")) / (
-        _norm(F.col("x.v")) * _norm(F.col("y.v")))
-    dropped = (x.join(y, (F.col("x.cluster") == F.col("y.cluster"))
-                      & (F.col("y.vec_id") < F.col("x.vec_id")))
-               .filter(round4(cos) >= tau)
-               .select(F.col("x.vec_id").alias("vec_id")).distinct())
+
+    def dropped_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cos = np.floor(Xn @ Xn.T * 1e4 + 0.5) / 1e4
+        # strictly-lower-triangle = pairs (j < i) in ascending-id order
+        dup = (np.tril(cos >= tau, k=-1)).any(axis=1)
+        return pdf.loc[dup, ["vec_id"]]
+
+    dropped = (av.groupBy("cluster")
+               .applyInPandas(dropped_in_cluster, "vec_id long"))
     return (a.join(dropped.withColumn("_drop", F.lit(True)),
                    "vec_id", "left")
             .select("vec_id", "cluster",

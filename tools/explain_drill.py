@@ -240,14 +240,16 @@ def main():
           "(centroids are literals — no Exchange, no join)",
           "Exchange" not in km_plan and "Join" not in km_plan)
 
-    # ---- semantic dedup: the within-cluster pair join must be an
-    # equi-join on the cluster id — never a cartesian/all-pairs product
+    # ---- semantic dedup: pair cosines come from ONE Arrow group stage
+    # per cluster (dense BLAS inside applyInPandas) — never a
+    # cartesian/all-pairs product or an expression-level pair self-join
     sd_plan = (similarity.semantic_dedup(emb, k=4, iters=1)
                ._jdf.queryExecution().executedPlan().toString())
-    check("semantic_dedup: cluster-blocked equi-join pair generation, "
-          "no cartesian/all-pairs product",
+    check("semantic_dedup: cluster-blocked Arrow cogroup pair stage "
+          "(FlatMapGroupsInPandas), no cartesian/all-pairs product",
           "CartesianProduct" not in sd_plan
-          and "BroadcastNestedLoopJoin" not in sd_plan)
+          and "BroadcastNestedLoopJoin" not in sd_plan
+          and "FlatMapGroupsInPandas" in sd_plan)
 
     out = ["# PLANS — flagship drill physical plan audit", "",
            "Generated by tools/explain_drill.py (re-run after plan-shaping",
