@@ -137,6 +137,18 @@ def _mini_image_stats(spark, sf_dir):
     return minidrill.mini_image_stats(spark, sf_dir)
 
 
+def _mini_poly_overlap(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_poly_overlap(spark, sf_dir)
+
+
+def _mini_wofs_summary(spark, sf_dir):
+    from dea_conflux_spark import minidrill
+
+    return minidrill.mini_wofs_summary(spark, sf_dir)
+
+
 def _mini_image_neardup(spark, sf_dir):
     from dea_conflux_spark import minidrill
 
@@ -277,6 +289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mini_drill_cogrouped": _mini_drill_cogrouped,
         "mini_drill_salted": _mini_drill_salted,
         "mini_drill_flags": _mini_drill_flags,
+        "mini_poly_overlap": _mini_poly_overlap,
+        "mini_wofs_summary": _mini_wofs_summary,
         "mini_wit": _mini_wit,
         "mini_knn": _mini_knn,
         "mini_knn_shuffle": _mini_knn_shuffle,
@@ -1191,6 +1205,8 @@ def oracle_sql() -> dict[str, str]:
     sql["mini_knn_shuffle"] = sql["mini_knn"]
     sql["mini_wit"] = minidrill.mini_wit_oracle_sql()
     sql["mini_drill_flags"] = minidrill.mini_drill_flags_oracle_sql()
+    sql["mini_poly_overlap"] = minidrill.mini_poly_overlap_oracle_sql()
+    sql["mini_wofs_summary"] = minidrill.mini_wofs_summary_oracle_sql()
     sql["mini_image_stats"] = minidrill.mini_image_stats_oracle_sql()
     sql["mini_image_neardup"] = minidrill.mini_image_neardup_oracle_sql()
     sql["mini_image_resize_stats"] = (

@@ -35,7 +35,7 @@ from .core import codec, geom
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench_data", "mini_drill")
-_VERSION = "v9"  # bump to force regeneration
+_VERSION = "v10"  # bump to force regeneration
 
 MINI_GRID = datagen.GridSpec(G=2, T=2, w=16, h=16)
 
@@ -362,6 +362,17 @@ def build(out_dir: str = FIXTURE_DIR) -> str:
         os.path.join(out_dir, "mini_audio.parquet"), index=False)
     pd.concat(samp_frames, ignore_index=True).to_parquet(
         os.path.join(out_dir, "mini_audio_samples.parquet"), index=False)
+    # vertex table for the polygon-overlap SAT oracle: convex polygons are
+    # disjoint iff some edge half-plane of one has ALL the other's
+    # vertices strictly outside (separating axis over edge normals)
+    vx_rows = []
+    for p in polys:
+        for (x, y) in p["rings"][0]:
+            vx_rows.append((p["poly_id"], p["ordinal"],
+                            float(x), float(y)))
+    pd.DataFrame(vx_rows, columns=["poly_id", "ordinal", "vx", "vy"]) \
+        .to_parquet(os.path.join(out_dir, "mini_vertices.parquet"),
+                    index=False)
     with open(marker, "w") as f:
         f.write(_VERSION)
     return out_dir
@@ -1099,4 +1110,76 @@ def mini_chip_stats_oracle_sql() -> str:
           ON px.x > bb.xmin AND px.x < bb.xmax
          AND px.y > bb.ymin AND px.y < bb.ymax
         GROUP BY image_id
+    """
+
+
+def mini_poly_overlap(spark, sf_dir: str):
+    """The polygon-polygon overlap join (cell-cover candidates + exact
+    edge-cross/containment refine, operators/overlap.py) over the convex
+    fixture polygons — exact-checked against an independent DuckDB
+    separating-axis oracle over the stored half-planes + vertices."""
+    from .operators.overlap import polygon_overlap_pairs
+
+    build()
+    polygons = spark.createDataFrame(
+        datagen.polygons_pdf(_convex_polys()), schema=datagen.POLY_SCHEMA)
+    return polygon_overlap_pairs(polygons)
+
+
+def mini_poly_overlap_oracle_sql() -> str:
+    out = build()
+    pl = os.path.join(out, "mini_planes.parquet")
+    vx = os.path.join(out, "mini_vertices.parquet")
+    return f"""
+        WITH pl AS (SELECT * FROM read_parquet('{pl}')),
+        vx AS (SELECT * FROM read_parquet('{vx}')),
+        p AS (SELECT DISTINCT poly_id, ordinal FROM vx),
+        sep AS (
+          -- a half-plane of polygon P with ALL of Q's vertices strictly
+          -- outside separates the (convex) pair -> disjoint
+          SELECT pl.poly_id AS p_sep, vx.poly_id AS q_sep
+          FROM pl JOIN vx ON vx.poly_id <> pl.poly_id
+          GROUP BY pl.poly_id, pl.a, pl.b, pl.c, vx.poly_id
+          HAVING bool_and(pl.a * vx.vx + pl.b * vx.vy > pl.c)
+        )
+        SELECT a.poly_id AS poly_id_a, b.poly_id AS poly_id_b
+        FROM p a JOIN p b ON a.ordinal < b.ordinal
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sep s
+          WHERE (s.p_sep = a.poly_id AND s.q_sep = b.poly_id)
+             OR (s.p_sep = b.poly_id AND s.q_sep = a.poly_id))
+    """
+
+
+def mini_wofs_summary(spark, sf_dir: str):
+    """The per-pixel temporal composite (WOfS-summary product,
+    operators/summary.py: partial mapInPandas count planes -> final
+    plane sum -> pixel explode) over the fixture tiles — exact-checked
+    against the relational pixel table grouped by pixel position.
+    Counts are integers; wet_freq is one IEEE division (NULL where a
+    pixel was never clear), so both engines are exact."""
+    from .operators.summary import wofs_summary_pixels
+
+    out = build()
+    g = MINI_GRID
+    tiles = spark.read.parquet(os.path.join(out, "mini_tiles.parquet"))
+    return wofs_summary_pixels(tiles, g.x_off, g.y_off, g.tile_span_x,
+                               g.tile_span_y, g.px_res)
+
+
+def mini_wofs_summary_oracle_sql() -> str:
+    out = build()
+    px = os.path.join(out, "mini_pixels.parquet")
+    return f"""
+        SELECT x, y,
+               SUM(CASE WHEN (val & 243) = 128
+                   THEN 1 ELSE 0 END) AS n_wet,
+               SUM(CASE WHEN (val & 243) IN (0, 128)
+                   THEN 1 ELSE 0 END) AS n_clear,
+               CAST(SUM(CASE WHEN (val & 243) = 128 THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN (val & 243) IN (0, 128)
+                              THEN 1 ELSE 0 END), 0) AS wet_freq
+        FROM read_parquet('{px}')
+        GROUP BY x, y
     """
