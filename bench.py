@@ -207,6 +207,33 @@ def run_drill_cogrouped(spark, path: str, repeat: int = 2,
             "tiles_per_sec": round(n_tiles / dt, 2)}
 
 
+def run_wofs_summary(spark, path: str, repeat: int = 2) -> dict:
+    """Measure the per-pixel temporal composite (WOfS-summary product,
+    operators/summary.py) over the SAME replicated input as the headline
+    drill: 524,288 tiles -> 1,024 position rasters, 512 observations per
+    pixel.  Times the full partial-planes -> one (gx, gy) exchange ->
+    plane-sum pipeline; tile bytes never shuffle (PLANS.md)."""
+    from dea_conflux_spark.operators.summary import wofs_summary_rasters
+
+    n_parts = max(128, 16 * spark.sparkContext.defaultParallelism)
+    base = spark.read.parquet(path).coalesce(n_parts)
+    tiles = _replicate(base, REP)
+    n_tiles = G * G * T * REP
+    # warm python workers + plan on one stored timestep
+    from pyspark.sql import functions as F
+    small = spark.read.parquet(path).filter(
+        F.col("image_id").startswith("t0000"))
+    wofs_summary_rasters(small).count()
+    dt = float("inf")
+    for _ in range(max(1, repeat)):
+        t0 = time.monotonic()
+        n_rows = wofs_summary_rasters(tiles).count()
+        dt = min(dt, time.monotonic() - t0)
+    return {"summary_sec": round(dt, 3), "n_tiles": n_tiles,
+            "n_rasters": n_rows,
+            "tiles_per_sec": round(n_tiles / dt, 2)}
+
+
 # WIT scaling pair: the compute-dense 10-band drill (Tasseled Cap Wetness
 # physics over six reflectance planes + masking) — per-worker arithmetic
 # intensity representative of real multiband workloads, which leaves the
@@ -689,6 +716,16 @@ def write_baseline_md(result: dict) -> None:
             "huge-layer requirement — costs nothing measurable on this "
             "box |",
         ]
+    if result.get("wofs_summary"):
+        ws = result["wofs_summary"]
+        lines += [
+            f"| WOfS-summary per-pixel temporal composite (same input: "
+            f"{ws['n_tiles']} tiles -> {ws['n_rasters']} position "
+            f"rasters, {T * REP} obs/pixel) @ local[{result['cpus']}] | "
+            f"{ws['summary_sec']} s = {ws['tiles_per_sec']} tiles/sec "
+            "(partial count planes per input partition; tile bytes "
+            "never shuffle) |",
+        ]
     if s.get(f"local{result['cpus']}"):
         lines.append(
             "| headline source | same batch as the scaling rows below "
@@ -1022,6 +1059,7 @@ def main():
     # as the two cogrouped rows, so the joined-vs-cogrouped gap is a
     # like-for-like comparison (the host drifts ~2x between sessions)
     drill_in_session = run_drill(spark, path, repeat=2)
+    wofs_summary = run_wofs_summary(spark, path, repeat=2)
     spark.stop()
 
     def cached_study(cache, fn):
@@ -1098,6 +1136,7 @@ def main():
         "cogrouped_drill": cg,
         "cogrouped_salted_drill": cg_salted,
         "joined_drill_in_session": drill_in_session,
+        "wofs_summary": wofs_summary,
         "scaling": scaling,
         "scaling_batch2": scaling_batch2,
         "scaling_steady": scaling_steady,
