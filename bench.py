@@ -234,6 +234,26 @@ def run_wofs_summary(spark, path: str, repeat: int = 2) -> dict:
             "tiles_per_sec": round(n_tiles / dt, 2)}
 
 
+def run_polygon_overlap(spark, repeat: int = 2) -> dict:
+    """Measure the polygon-polygon overlap self-join
+    (operators/overlap.py) over the SAME ~12k-polygon layer (incl. the 5
+    huge skew polygons) the headline drill runs against — cell-cover
+    equi-join candidates + full-cell fast accept + exact Arrow refine."""
+    from dea_conflux_spark import datagen
+    from dea_conflux_spark.operators.overlap import polygon_overlap_pairs
+
+    grid, polys = _grid_and_polys()
+    pdf = datagen.polygons_df(spark, polys)
+    dt = float("inf")
+    for _ in range(max(1, repeat)):
+        t0 = time.monotonic()
+        n_pairs = polygon_overlap_pairs(pdf).count()
+        dt = min(dt, time.monotonic() - t0)
+    return {"overlap_sec": round(dt, 3), "n_polys": len(polys),
+            "n_pairs": n_pairs,
+            "polys_per_sec": round(len(polys) / dt, 2)}
+
+
 # WIT scaling pair: the compute-dense 10-band drill (Tasseled Cap Wetness
 # physics over six reflectance planes + masking) — per-worker arithmetic
 # intensity representative of real multiband workloads, which leaves the
@@ -726,6 +746,16 @@ def write_baseline_md(result: dict) -> None:
             "(partial count planes per input partition; tile bytes "
             "never shuffle) |",
         ]
+    if result.get("polygon_overlap"):
+        po = result["polygon_overlap"]
+        lines += [
+            f"| polygon-overlap self-join over the same "
+            f"{po['n_polys']}-polygon layer (incl. 5 huge skew "
+            f"polygons; {po['n_pairs']} overlapping pairs found) @ "
+            f"local[{result['cpus']}] | {po['overlap_sec']} s "
+            "(cell-cover equi-join candidates, full-cell fast accept, "
+            "exact Arrow refine — no all-pairs product) |",
+        ]
     if s.get(f"local{result['cpus']}"):
         lines.append(
             "| headline source | same batch as the scaling rows below "
@@ -1060,6 +1090,7 @@ def main():
     # like-for-like comparison (the host drifts ~2x between sessions)
     drill_in_session = run_drill(spark, path, repeat=2)
     wofs_summary = run_wofs_summary(spark, path, repeat=2)
+    poly_overlap = run_polygon_overlap(spark, repeat=2)
     spark.stop()
 
     def cached_study(cache, fn):
@@ -1137,6 +1168,7 @@ def main():
         "cogrouped_salted_drill": cg_salted,
         "joined_drill_in_session": drill_in_session,
         "wofs_summary": wofs_summary,
+        "polygon_overlap": poly_overlap,
         "scaling": scaling,
         "scaling_batch2": scaling_batch2,
         "scaling_steady": scaling_steady,
