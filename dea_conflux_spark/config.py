@@ -49,6 +49,18 @@ def get_spark(app: str = "dea-conflux-spark", cpus: int | str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan split size (guide §6): the default 128 MB yields 1-2 scan
+        # tasks for the testdata tables (each table is a single file), so
+        # every scan-heavy stage ran on 1-2 of the N cores.  16 MB splits
+        # let row-group-rich files fan out across the box; single-row-group
+        # files are unaffected (operators that do heavy per-row work over
+        # such inputs spread explicitly — textqa.ensure_spread).  At
+        # production scale (many ~GB files on object storage) set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=128m..1g: large sequential scans
+        # want big splits, and the scan-task count feeding a shuffle drops
+        # quadratically in block count (guide §2.2).
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 512-row Arrow batches (~8 MB of 16 KB tile rows) measured ~10%

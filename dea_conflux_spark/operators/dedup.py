@@ -13,6 +13,7 @@ against an exact DuckDB oracle.  At scale:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .textqa import ensure_spread, md5i, norm_text, round4, tokens_col
@@ -148,27 +149,58 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         max_df: int | None = None) -> DataFrame:
     """Near-dup pairs by token n-gram Jaccard >= tau.
 
-    Candidate generation = self-equi-join on shingle (only pairs sharing at
-    least one shingle are scored); Jaccard from shared / (|A|+|B|-shared).
+    Candidate generation groups the shingle table ONCE by shingle value
+    (collecting each shingle's sorted doc list) and explodes the
+    ascending (id1 < id2) pairs row-locally — the same candidate set a
+    shingle self-equi-join produces, for one hash aggregate instead of
+    a sort-merge self-join (two corpus-scale sort+Exchange legs in the
+    round-5 plan).  The document-frequency cutoff becomes a row-local
+    ``size(ds) <= max_df`` filter on the grouped table (the round-5
+    plan paid a separate groupBy + anti-join), and per-doc sizes over
+    the filtered universe re-derive from the grouped table, so the
+    tokenise+shingle pipeline runs ONCE (one checkpoint instead of
+    three).  Per-shingle pair fan-out stays bounded by
+    ``max_df * (max_df - 1) / 2``.
 
-    ``max_df`` (document-frequency cutoff) removes hot shingles from the
-    Jaccard universe before the self-join — the standard mitigation for the
-    quadratic hot-key blowup a corpus-wide stop-phrase would cause (a
-    shingle shared by 10^6 docs = a 10^12-row reducer).  Sizes are computed
-    over the same filtered universe so the score stays a true Jaccard of
-    the retained shingle sets; mirror the cutoff in any oracle.
+    ``max_df`` is the standard mitigation for the quadratic hot-key
+    blowup a corpus-wide stop-phrase would cause; sizes are computed
+    over the same filtered universe so the score stays a true Jaccard
+    of the retained shingle sets; mirror the cutoff in any oracle.
     """
-    _, sh = _shared_shingles(docs, n, max_df)
-    sizes = _once(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-              .groupBy(F.col("a.doc_id").alias("id1"),
-                       F.col("b.doc_id").alias("id2"))
+    grouped = _grouped_shingles(docs, n, max_df)
+    sizes = _once(grouped.select(F.explode("ds").alias("doc_id"))
+                  .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
+    shared = (grouped.select(F.explode(_pairs_from_sorted("ds")).alias("p"))
+              .groupBy(F.col("p.id1").alias("id1"),
+                       F.col("p.id2").alias("id2"))
               .agg(F.count("*").alias("shared")))
     return (_jaccard_of_sizes(sizes, shared)
             .filter(F.col("jaccard") >= tau))
+
+
+def _pairs_from_sorted(col) -> F.Column:
+    """array<struct<id1, id2>> of the ascending (id1 < id2) pairs of an
+    ascending-sorted id array — the row-local equivalent of a
+    self-equi-join's candidate pairs for one key group."""
+    ds = F.col(col) if isinstance(col, str) else col
+    return F.flatten(F.transform(
+        ds, lambda x, i: F.transform(
+            F.slice(ds, i + 2, F.size(ds)),
+            lambda y: F.struct(x.alias("id1"), y.alias("id2")))))
+
+
+def _grouped_shingles(docs: DataFrame, n: int,
+                      max_df: int | None) -> DataFrame:
+    """(shingle, ds array<long>) — the shingle table grouped by value,
+    each row carrying the ASCENDING doc_id list, hot shingles
+    (``len(ds) > max_df``) dropped.  Materialised once; feeds both the
+    per-doc size aggregate and the candidate-pair explode."""
+    sh = _shingles(docs, n)
+    grouped = (sh.groupBy("shingle")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ds")))
+    if max_df is not None:
+        grouped = grouped.filter(F.size("ds") <= max_df)
+    return _once(grouped)
 
 
 def contamination_flags(corpus: DataFrame, bench: DataFrame,
@@ -196,22 +228,49 @@ def contamination_flags(corpus: DataFrame, bench: DataFrame,
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures: for hash j,
     ``min((a_j * (md5i(shingle) % P) + b_j) % P)`` with a_j = 2j+1,
-    b_j = 7919 * j — small literal constants shared with the SQL oracle."""
-    return _signatures_from(_shingles(docs, n))
+    b_j = 7919 * j — small literal constants shared with the SQL oracle.
 
+    Fully ROW-LOCAL: a document's shingles never leave its row — the
+    distinct n-gram array maps to hashes and the MH_NH minima fold in
+    one vectorised Arrow step per batch (exact integer arithmetic; the
+    products stay < 2^35, far inside int64).  The round-5 plan exploded
+    the shingles and re-gathered them with a corpus-wide
+    collect_list shuffle before an interpreted per-element fold; the
+    signature pass now has NO exchange at all (beyond ensure_spread's
+    split balancing)."""
+    import numpy as np
 
-def _signatures_from(sh: DataFrame) -> DataFrame:
-    sh = sh.withColumn("h", md5i(F.col("shingle")) % MH_P)
-    # One shuffle: gather each doc's shingle hashes, then compute all
-    # MH_NH minima with JVM array expressions — no NH-fold row explosion.
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(MH_NH - 1)),
-        lambda j: F.array_min(F.transform(
-            F.col("hs"),
-            lambda h: (h * (2 * j + 1) + F.lit(7919) * j) % MH_P)))
-    return (sh.groupBy("doc_id")
-            .agg(F.collect_list("h").alias("hs"))
-            .select("doc_id", sig.alias("sig")))
+    def _sigs_fn(hs: pd.Series) -> pd.Series:
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        if not len(arrs):
+            return pd.Series(np.empty(0, dtype=object))
+        n_sh = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+        flat = np.concatenate(arrs)
+        offs = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(n_sh[:-1], out=offs[1:])
+        sigs = np.empty((len(arrs), MH_NH), dtype=np.int64)
+        for j in range(MH_NH):
+            vals = (flat * (2 * j + 1) + 7919 * j) % MH_P
+            sigs[:, j] = np.minimum.reduceat(vals, offs)
+        return pd.Series(list(sigs))
+
+    # asNondeterministic stops the optimizer duplicating the UDF when a
+    # downstream Generate/Filter references its output (guide §4.4: a
+    # posexplode's implicit size>0 filter was pushed below the spread
+    # exchange, re-running the signature fold — and the tokenise regex,
+    # re-evaluated per element once unmaterialised — on the single-split
+    # scan; measured 150 s vs 2 s).  The function is pure; the marker
+    # only pins its evaluation point.
+    _sigs = F.pandas_udf(_sigs_fn, "array<long>").asNondeterministic()
+    tok_df = ensure_spread(docs).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    hs = F.transform(F.array_distinct(grams), lambda g: md5i(g) % MH_P)
+    return tok_df.select("doc_id", _sigs(hs).alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
@@ -227,8 +286,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     value — the all-pairs join LSH exists to avoid never runs.  ``max_df``
     optionally drops hot shingles from the verification universe (see
     :func:`ngram_jaccard_pairs`)."""
-    sh_raw, sh = _shared_shingles(docs, n, max_df)
-    sigs = _signatures_from(sh_raw)
+    _, sh = _shared_shingles(docs, n, max_df)
+    sigs = minhash_signatures(docs, n)
     band_vals = F.transform(
         F.slice(F.col("sig"), F.col("band") * MH_BAND + 1, MH_BAND),
         lambda x: x.cast("string"))
@@ -240,13 +299,15 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
                 F.md5(F.concat_ws(
                     "_", F.col("band").cast("string"),
                     F.concat_ws(",", band_vals))).alias("bh")))
-    bands = _once(bands)  # both self-join sides
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("id1"),
-                    F.col("b.doc_id").alias("id2")).distinct())
+    # candidate pairs: ONE hash aggregate on the (band, bh) bucket key +
+    # a row-local pair explode, replacing the round-5 checkpointed
+    # sort-merge self-join (two sorted Exchanges of the band table)
+    cand = (bands.groupBy("band", "bh")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(F.explode(_pairs_from_sorted("ds")).alias("p"))
+            .select(F.col("p.id1").alias("id1"),
+                    F.col("p.id2").alias("id2")).distinct())
     sizes = _once(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
     # shared-shingle counts for candidate pairs only: expand each pair by
     # id1's shingles (join on id1), keep rows where id2 holds the same
@@ -265,25 +326,47 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): 60-bit SimHash over tokens (term frequency
     weighted).  Bit j is set iff the signed count of tokens with hash bit j
-    set is positive."""
-    toks = (ensure_spread(docs)
-            .select("doc_id", tokens_col(F.col("text")).alias("toks"))
-            .select("doc_id", F.explode("toks").alias("tok"))
-            .withColumn("h", md5i(F.col("tok"))))
-    j = F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
-    # NB: F.shiftleft/shiftright only take int literals for numBits — use
-    # SQL expressions for column-valued shift amounts.
-    signed = F.when(
-        F.expr("shiftrightunsigned(h, j)").bitwiseAND(1) == 1,
-        F.lit(1)).otherwise(F.lit(-1))
-    per = (toks.select("doc_id", "h", j)
-           .select("doc_id", "j", signed.alias("s"))
-           .groupBy("doc_id", "j").agg(F.sum("s").alias("c")))
-    bits = F.when(F.col("c") > 0,
-                  F.expr("shiftleft(1L, j)")).otherwise(
-                      F.lit(0).cast("long"))
-    return (per.select("doc_id", bits.alias("b"))
-            .groupBy("doc_id").agg(F.sum("b").alias("simhash")))
+    set is positive — equivalently (since every token contributes +1 or
+    -1) iff tokens-with-bit-set outnumber half the tokens:
+    ``2 * popcount_j > n_tokens``.
+
+    Plan shape: token hashes are computed ROW-LOCALLY (``transform`` over
+    the token array — the shared ``md5i`` arithmetic, so the DuckDB
+    oracle is unchanged) and the 60 per-bit counts are folded in ONE
+    vectorised Arrow batch step (flatten the batch's hash lists, one
+    (tokens x 60) bit unpack, segment-sum via ``np.add.reduceat``).
+    Exact integer arithmetic end to end.  The round-5 plan instead
+    exploded every token 60-fold and pushed tokens x 60 rows (~60M at
+    sf1.0, ~120M at the 100k-doc point) through a two-level hash
+    aggregate — two corpus-scale Exchanges that this formulation removes
+    entirely: simhash is now a narrow per-row map over the scan (plus
+    ``ensure_spread``'s split-balancing repartition when the scan is
+    under-split)."""
+    import numpy as np
+
+    def _fold_bits_fn(hs: pd.Series) -> pd.Series:
+        arrs = [np.asarray(a, dtype=np.uint64) for a in hs]
+        n = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+        if not len(arrs):
+            return pd.Series(np.empty(0, dtype=np.int64))
+        flat = np.concatenate(arrs)
+        shifts = np.arange(60, dtype=np.uint64)
+        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        offs = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(n[:-1], out=offs[1:])
+        cnt = np.add.reduceat(bits, offs, axis=0)  # (docs, 60) popcounts
+        mask = (2 * cnt) > n[:, None]
+        sim = (mask.astype(np.uint64) << shifts).sum(axis=1)
+        return pd.Series(sim.astype(np.int64))
+
+    # asNondeterministic: pin the evaluation point so downstream
+    # Generates/Filters can't duplicate the UDF below the spread
+    # exchange (guide §4.4; see minhash_signatures)
+    _fold_bits = F.pandas_udf(_fold_bits_fn, "long").asNondeterministic()
+    d = ensure_spread(docs).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks"))
+    hs = F.transform(F.col("toks"), lambda t: md5i(t))
+    return d.select("doc_id", _fold_bits(hs.alias("hs")).alias("simhash"))
 
 
 def simhash_block_specs(max_hamming: int, n_bits: int = 60) -> list:
@@ -308,7 +391,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     corpus scale keep the threshold tight (h <= 6 for 60-bit hashes) or
     pre-partition by a coarse key; the blocking stays recall-complete
     either way."""
-    sh = _once(simhash(docs))  # doc-grain; both self-join sides
+    sh = simhash(docs)  # row-local since round 6 — no checkpoint needed
     blk = F.explode(F.array(*[
         F.struct(
             F.lit(q).alias("q"),
@@ -318,14 +401,25 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     blocks = sh.select("doc_id", "simhash", blk.alias("b")).select(
         "doc_id", "simhash",
         F.col("b.q").alias("q"), F.col("b.block").alias("block"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (a.join(b, (F.col("a.q") == F.col("b.q"))
-                   & (F.col("a.block") == F.col("b.block"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("id1"),
-                    F.col("b.doc_id").alias("id2"),
-                    F.col("a.simhash").alias("s1"),
-                    F.col("b.simhash").alias("s2")).distinct())
+    # candidate pairs per (q, block) bucket: one hash aggregate + a
+    # row-local ascending-pair explode (the simhash rides inside the
+    # collected struct), replacing the round-5 checkpointed sort-merge
+    # self-join of the 7x-exploded block table
+    ds = F.col("ds")
+    pair_structs = F.flatten(F.transform(
+        ds, lambda x, i: F.transform(
+            F.slice(ds, i + 2, F.size(ds)),
+            lambda y: F.struct(
+                x.getField("doc_id").alias("id1"),
+                y.getField("doc_id").alias("id2"),
+                x.getField("simhash").alias("s1"),
+                y.getField("simhash").alias("s2")))))
+    cand = (blocks.groupBy("q", "block")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.id1", "p.id2", "p.s1", "p.s2").distinct())
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (cand.select("id1", "id2", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))

@@ -15,11 +15,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .textqa import round4
+from .textqa import ensure_spread, once, round4
 
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _vectors(embeddings: DataFrame, materialize: bool = False) -> DataFrame:
+    """(vec_id, v array<double>) — the shared scan head of every
+    similarity operator.  ``ensure_spread`` parallelises the
+    higher-order-function arithmetic when the scan is under-split (the
+    testdata tables are single-row-group files, so without it every
+    cosine/distance fold ran on one core).  ``materialize`` checkpoints
+    the projected vectors once for operators that scan them several
+    times (IVF build, k-means iterations)."""
+    e = ensure_spread(embeddings).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"))
+    return once(e) if materialize else e
 
 
 def _dot(a, b):
@@ -31,12 +44,79 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _assign_nearest(e: DataFrame, cents: list, metric: str,
+                    with_dist: bool = False) -> DataFrame:
+    """(vec_id, v, cid[, dist]) — nearest-centroid assignment as ONE
+    vectorised Arrow pass over the (spread) vector table.
+
+    ``cents`` is [(cid, vector), ...]; ``metric`` is ``"cosine"`` (pick
+    max similarity, ties to the smallest cid) or ``"sqeuclidean"``
+    (pick min distance, ties to the smallest cid).
+
+    Bit-exactness contract: the fold runs dimension-by-dimension in the
+    same left-to-right IEEE sequence as the higher-order-function
+    expressions (``aggregate(zip_with(...))``) used elsewhere — for each
+    (row, centroid) cell the accumulator adds the j-th term in order j =
+    0..dim-1, so every distance/similarity is the identical double, and
+    numpy's first-index argmin/argmax reproduces the (score, cid)
+    struct-min tie-break.  This replaces k unrolled literal-array
+    expressions whose ~k*dim literal nodes made every action re-pay
+    seconds of Catalyst analysis (and whose interpreted per-element
+    lambdas dominated executor time)."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(cents)
+    cids = np.array([c for c, _ in order], dtype=np.int64)
+    C = np.asarray([v for _, v in order], dtype=np.float64)
+    k, dim = C.shape
+    if metric == "cosine":
+        cnorm = np.empty(k)
+        for i in range(k):
+            acc = 0.0
+            for x in C[i]:
+                acc = acc + x * x
+            cnorm[i] = acc ** 0.5
+
+    out_cols = ["vec_id", "v", "cid"] + (["dist"] if with_dist else [])
+    schema = "vec_id long, v array<double>, cid long" + (
+        ", dist double" if with_dist else "")
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(X), k))
+            if metric == "cosine":
+                vnorm = np.zeros(len(X))
+                for j in range(dim):
+                    xj = X[:, j]
+                    acc = acc + xj[:, None] * C[None, :, j]
+                    vnorm = vnorm + xj * xj
+                score = acc / (np.sqrt(vnorm)[:, None] * cnorm[None, :])
+                best = score.argmax(axis=1)
+            else:
+                for j in range(dim):
+                    t = X[:, j][:, None] - C[None, :, j]
+                    acc = acc + t * t
+                best = acc.argmin(axis=1)
+            res = {"vec_id": pdf["vec_id"].to_numpy(),
+                   "v": pdf["v"].to_numpy(),
+                   "cid": cids[best]}
+            if with_dist:
+                res["dist"] = acc[np.arange(len(X)), best]
+            yield pd.DataFrame(res, columns=out_cols)
+
+    return e.select("vec_id", "v").mapInPandas(run, schema)
+
+
 def brute_topk(embeddings: DataFrame, queries: DataFrame,
                k: int = 5) -> DataFrame:
     """Exact top-k by cosine.  ``queries``: (qid, qv array<float|double>).
     Returns (qid, vec_id, cosine, rank); cosine rounded to 4 dp for stable
     cross-engine comparison (ordering uses the unrounded value)."""
-    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    e = _vectors(embeddings)
     q = queries.select("qid", _as_double(F.col("qv")).alias("qv"))
     cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
     scored = (e.crossJoin(F.broadcast(q))
@@ -53,25 +133,29 @@ def build_ivf(embeddings: DataFrame, n_centroids: int = 16):
     sample — the ``n_centroids`` vectors with the smallest md5(vec_id)
     (hash order is uncorrelated with insertion/id order, so the sample
     spreads across the corpus; a TakeOrdered pass, no shuffle); each
-    vector is assigned to its nearest centroid via broadcast join +
-    ranking window.  Returns (assignments (vec_id, v, cid), centroids
-    (cid, cv)).  At 10^12 scale this is one broadcast pass — the centroid
-    table is tiny, the assignment shuffles nothing."""
-    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    cents = (e.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
-             .orderBy("_h").limit(n_centroids)
-             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
-    # the centroid frame feeds two downstream consumers (vector assignment
-    # and query probing) — materialise the TakeOrdered sample once instead
-    # of re-running the global selection pass per consumer (it is a
-    # n_centroids-row table; the checkpoint is free)
-    cents = cents.localCheckpoint(eager=True)
-    d = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    assign = (e.crossJoin(F.broadcast(cents))
-              .select("vec_id", "v", "cid", d.alias("sim"))
-              .withColumn("r", F.row_number().over(w)).filter("r = 1")
-              .select("vec_id", "v", "cid"))
+    vector is assigned to its nearest centroid by an ``array_min`` over
+    per-centroid literal-similarity structs — one narrow projection, no
+    join, no window (the round-5 plan cross-joined the broadcast
+    centroid table and ranked with a row_number window, which shuffled
+    every (vector x centroid) row INCLUDING the vector payload through
+    two Exchanges).  Centroids are k x dim driver state (the same
+    size-gated pattern as kmeans_assign).  Returns (assignments
+    (vec_id, v, cid), centroids (cid, cv)).  At 10^12 scale this is one
+    narrow map over the corpus — nothing data-sized shuffles."""
+    e = _vectors(embeddings)
+    sample = (e.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+              .orderBy("_h").limit(n_centroids)
+              .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    # ONE TakeOrdered collect yields both the assignment literals and the
+    # centroid frame for query probing (re-created from the collected
+    # rows — exact: doubles round-trip losslessly through the driver);
+    # the round-5 plan paid an extra eager-checkpoint job here
+    crows = sorted((int(r["cid"]), list(r["cv"])) for r in sample.collect())
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(cid, cv) for cid, cv in crows],
+        "cid long, cv array<double>")
+    assign = _assign_nearest(e, crows, metric="cosine")
     return assign, cents
 
 
@@ -179,7 +263,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
               .filter(F.col("r") <= nprobe)
               .select("qid", "qv", "cid"))
     cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
-    cand = (probes.join(idx, "cid")
+    # the probes table is |queries| x nprobe rows — broadcast it so the
+    # candidate attach is a broadcast hash join and the assignment table
+    # (vector payloads) never shuffles (the round-5 plan sort-merge-joined
+    # on cid, shuffling every vector by a 16-distinct-value key)
+    cand = (F.broadcast(probes).join(idx, "cid")
             .select("qid", "vec_id", cos.alias("cos_raw")))
     w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -189,7 +277,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def kmeans_assign(embeddings: DataFrame, k: int = 4,
-                  iters: int = 2) -> DataFrame:
+                  iters: int = 2, _e: DataFrame | None = None) -> DataFrame:
     """(vec_id, cluster, dist) — deterministic Lloyd's k-means over the
     embedding column: init = the vectors of the ``k`` smallest vec_ids,
     ``iters`` assign/update rounds, squared-euclidean distance, ties to
@@ -199,46 +287,89 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4,
 
     Plan shape at scale: centroids are k x dim driver state (same
     size-gated pattern as ``build_ivf``; k*dim doubles, never
-    data-sized), embedded as literal arrays so each assign round is one
+    data-sized), embedded as literal arrays so the final assign is one
     narrow projection over the vectors — no join, no shuffle.  Each
-    update round is one posexplode + hash aggregate on (cluster, pos)
-    (k*dim groups, map-side combined).  Total: ``iters`` shuffles of
-    k*dim-group aggregates; the vectors themselves are scanned, never
-    shuffled.  An empty cluster keeps its previous centroid."""
-    e = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v"))
-    init = (embeddings.orderBy("vec_id").limit(k)
-            .select(_as_double(F.col("embedding")).alias("v")).collect())
+    update round is one vectorised Arrow pass emitting k*dim partial
+    sums per partition + a k*dim-group final aggregate.  Total:
+    ``iters`` shuffles of k*dim-row partials; the vectors themselves
+    are scanned, never shuffled.  An empty cluster keeps its previous
+    centroid.
+
+    The projected vector table is spread across the box and materialised
+    ONCE (``_vectors(materialize=True)``): the ``iters + 1`` assign/update
+    passes and the init TakeOrdered all read the checkpointed vectors
+    instead of re-scanning + re-projecting the parquet per pass (the
+    round-5 plan paid 4 single-split scans).  ``_e`` lets a caller that
+    already holds the materialised vector table (semantic_dedup) share
+    it instead of double-materialising."""
+    e = _e if _e is not None else _vectors(embeddings, materialize=True)
+    init = (e.orderBy("vec_id").limit(k).select("v").collect())
     cents = [list(r.v) for r in init]
 
-    def dist_to(c):
-        lits = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("v"), lits, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
+    import numpy as np
+    import pandas as pd
 
-    def assign():
-        pick = F.array_min(F.array(*[
-            F.struct(dist_to(c).alias("d"), F.lit(j).alias("c"))
-            for j, c in enumerate(cents)]))
-        return e.select("vec_id", "v",
-                        pick.getField("c").alias("cluster"),
-                        pick.getField("d").alias("dist"))
+    # Each update round is ONE mapInPandas pass emitting per-partition
+    # (cluster, dim) partial sums/counts (k x dim rows per partition, a
+    # few KB) + one tiny final aggregate — the round-5 plan instead
+    # re-evaluated the per-centroid distance expressions through an
+    # interpreted higher-order-function projection and pushed a
+    # posexplode'd (rows x dim) stream through a corpus-scale hash
+    # aggregate per round.  The numpy argmin (ties -> first index ==
+    # smallest centroid id) matches the expression path's tie-break; the
+    # per-(cluster, dim) means stay 6-dp pinned, which absorbs
+    # summation-order differences exactly as it does between Spark and
+    # the DuckDB oracle.  This is also the broadcast-centroid-matrix
+    # path that stays viable at large k (one matmul-style batch op
+    # instead of k unrolled expressions).
+    k_n = len(cents)
+
+    def means_pass(cents_now):
+        C = np.asarray(cents_now, dtype=np.float64)
+        dim = C.shape[1]
+
+        def part(batches):
+            sums = np.zeros((k_n, dim))
+            cnts = np.zeros(k_n, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                np.add.at(sums, a, X)
+                cnts += np.bincount(a, minlength=k_n)
+            if not seen:
+                return
+            cl = np.repeat(np.arange(k_n, dtype=np.int32), dim)
+            pos = np.tile(np.arange(dim, dtype=np.int32), k_n)
+            yield pd.DataFrame({
+                "cluster": cl, "pos": pos, "s": sums.ravel(),
+                "n": np.repeat(cnts, dim)})
+
+        # only the vector column crosses the Arrow boundary (guide §4.1)
+        partials = e.select("v").mapInPandas(
+            part, "cluster int, pos int, s double, n long")
+        return (partials.groupBy("cluster", "pos")
+                .agg((F.floor(F.sum("s") / F.sum("n") * 1000000
+                              + F.lit(0.5)) / F.lit(1e6)).alias("m"),
+                     F.sum("n").alias("n"))
+                .filter(F.col("n") > 0)
+                .collect())
 
     for _ in range(iters):
-        a = assign()
-        means = (a.select("cluster", F.posexplode("v").alias("pos", "val"))
-                 .groupBy("cluster", "pos")
-                 .agg((F.floor(F.avg("val") * 1000000 + F.lit(0.5))
-                       / F.lit(1e6)).alias("m"))
-                 .collect())
+        means = means_pass(cents)
         upd = {}
         for r in means:
             upd.setdefault(r.cluster, dict())[r.pos] = r.m
         cents = [[upd[j][p] for p in range(len(c))] if j in upd else c
                  for j, c in enumerate(cents)]
-    return assign().select(
-        "vec_id", F.col("cluster").cast("int").alias("cluster"),
+    final = _assign_nearest(e, list(enumerate(cents)),
+                            metric="sqeuclidean", with_dist=True)
+    return final.select(
+        "vec_id", F.col("cid").cast("int").alias("cluster"),
         round4(F.col("dist")).alias("dist"))
 
 
@@ -263,14 +394,13 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iters: int = 2,
     import numpy as np
     import pandas as pd
 
-    from .dedup import _once
-
-    # the assignment feeds both the dropped-set pass and the output
-    # join; the checkpoint computes the literal-centroid assign
-    # expression once instead of once per consumer
-    a = _once(kmeans_assign(embeddings, k=k, iters=iters))
-    e = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v"))
+    # ONE spread + materialised vector table serves the k-means
+    # iterations AND the cluster-blocked cosine pass (the round-5 plan
+    # re-projected the embeddings separately for each); the assignment
+    # checkpoint computes the literal-centroid assign expression once
+    # instead of once per consumer (dropped-set pass + output join)
+    e = _vectors(embeddings, materialize=True)
+    a = once(kmeans_assign(embeddings, k=k, iters=iters, _e=e))
     av = a.join(e, "vec_id").select("vec_id", "cluster", "v")
 
     def dropped_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -284,7 +414,10 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iters: int = 2,
 
     dropped = (av.groupBy("cluster")
                .applyInPandas(dropped_in_cluster, "vec_id long"))
-    return (a.join(dropped.withColumn("_drop", F.lit(True)),
+    # dropped is the (small) duplicate id set; broadcast it so the
+    # checkpointed assignment table streams through a broadcast hash
+    # join instead of shuffling for a sort-merge join
+    return (a.join(F.broadcast(dropped.withColumn("_drop", F.lit(True))),
                    "vec_id", "left")
             .select("vec_id", "cluster",
                     F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")))

@@ -21,9 +21,9 @@ LANG_MARKERS = {
 }
 
 
-def ensure_spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ``df`` when its scan yields far fewer splits
-    than the session's parallelism.
+def ensure_spread(df: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
+    """Repartition ``df`` when its scan yields far fewer splits than the
+    session's parallelism.
 
     Tokenisation / shingling is the CPU-heavy per-row stage of every text
     operator; if the input is a handful of large single-row-group parquet
@@ -32,11 +32,28 @@ def ensure_spread(df: DataFrame) -> DataFrame:
     work it parallelises.  On a healthy multi-file layout the scan already
     has >= parallelism splits and this is a no-op — callers with light
     per-row work should NOT use it (the exchange would dominate).
+
+    ``by`` optionally hash-partitions on those columns instead of
+    round-robin: a downstream groupBy/window keyed on a superset of
+    ``by`` then reuses this exchange (hash(a) satisfies clustering by
+    (a, b)), so the spread shuffle replaces the aggregation shuffle
+    instead of adding to it — and skips round-robin's
+    sort-before-repartition pass.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, par // 2):
-        return df.repartition(par)
+        return df.repartition(par, *by) if by else df.repartition(par)
     return df
+
+
+def once(df: DataFrame) -> DataFrame:
+    """Materialise ``df`` lazily to executor block storage
+    (``localCheckpoint``) so several downstream consumers compute it ONCE
+    instead of re-deriving the full lineage each — exchange reuse does
+    not unify independent consumers.  At cluster scale the same role is
+    played by a scratch-parquet materialisation (see dedup._once, the
+    original of this pattern)."""
+    return df.localCheckpoint(eager=False)
 
 
 def md5i(col) -> Column:
@@ -63,8 +80,11 @@ def tokens_col(col) -> Column:
 
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish subword piece count (every run of
-    letters-or-digits of length <= 4, longer words counted ceil(len/4))."""
-    d = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    letters-or-digits of length <= 4, longer words counted ceil(len/4)).
+    Row-local output; ``ensure_spread`` parallelises the regex tokenise
+    when the scan is under-split (no-op on healthy layouts)."""
+    d = ensure_spread(docs).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks"))
     toks = F.col("toks")
     n_tok = F.size(toks)
     n_pieces = F.aggregate(
@@ -192,24 +212,28 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 
     Plan shape at scale: one explode + two hash aggregates (term counts
     per doc, then document frequency per term) and a join back on
-    ``term`` — the df table is vocabulary-sized, so Catalyst broadcasts
-    it while it fits and shuffle-joins beyond; the per-doc top-k is one
-    ranking window (partial WindowGroupLimit below the exchange).  No
-    Python anywhere.  The corpus IS tokenised twice (the tf and df
-    branches re-derive the explode) — deliberate: the alternatives are
-    materialising the doc x term frame (corpus-scale storage) or a
-    count-over-window on ``term`` (hot terms like 'the' funnel into one
-    reducer).  Both aggregate branches combine map-side, so hot terms
-    never skew a reducer here.
+    ``term`` — the df table is vocabulary-sized and explicitly
+    broadcast; the per-doc top-k is one ranking window (partial
+    WindowGroupLimit below the exchange).  No Python anywhere.  The
+    (doc, term, tf) table is materialised ONCE (``once`` — scratch
+    storage at cluster scale) and feeds both the scoring branch and the
+    document-frequency branch: the round-5 plan instead re-ran the
+    tokenise+explode+aggregate lineage per branch (two full corpus regex
+    passes).  When the scan is under-split, ``ensure_spread(by=doc_id)``
+    hash-partitions on doc_id so the tf aggregation reuses the spread
+    exchange (hash(doc_id) satisfies clustering by (doc_id, term)) —
+    one shuffle establishes both parallelism and the tf grouping.  Both
+    aggregates combine map-side, so hot terms never skew a reducer.
     """
-    toks = docs.select(
+    toks = ensure_spread(docs, by=("doc_id",)).select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = once(toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) \
         + F.lit(1.0)
-    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(n_docs))
               .select("doc_id", "term", "tf", "df",
                       round4(F.col("tf") * idf).alias("tfidf")))
     w = W.partitionBy("doc_id").orderBy(
@@ -350,16 +374,21 @@ def bm25_topk(docs: DataFrame, query_terms=BM25_QUERY_TERMS, k: int = 10,
 
     The retrieval scorer of a training-data curation loop (query-targeted
     subcorpus extraction, contamination triage).  Plan shape at scale:
-    one explode filtered to the |Q| query terms BEFORE any aggregation —
-    the term filter prunes the exploded stream to matching rows only, so
-    the shuffled tf table is O(matching doc-terms), not corpus-sized;
+    the tokenised corpus is materialised ONCE (``once``; the round-5
+    plan re-ran the regex tokenise for each of its THREE consumers —
+    hits, doc lengths, corpus stats — i.e. three full corpus passes)
+    and spread across the box when the scan is under-split; one explode
+    filtered to the |Q| query terms BEFORE any aggregation — the term
+    filter prunes the exploded stream to matching rows only, so the
+    shuffled tf table is O(matching doc-terms), not corpus-sized;
     doc lengths come from a separate size() projection aggregated
     map-side; N/avgdl is a one-row broadcast; df is a |Q|-row broadcast.
     Per-term contributions are 6-dp pinned before the final sum so the
     Spark and DuckDB oracles add identical doubles.  No Python anywhere.
     """
     terms = [t.lower() for t in query_terms]
-    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    toks = once(ensure_spread(docs).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")))
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
     hits = (toks.select("doc_id", F.explode("toks").alias("term"))
             .filter(F.col("term").isin(terms)))

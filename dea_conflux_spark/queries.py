@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .operators import dedup, similarity, textqa
-from .operators.textqa import round4
+from .operators.textqa import ensure_spread, round4
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -152,8 +152,15 @@ def day_dedup_best_events(spark, sf):
     """The D3 dedup window on the events table: per (user, day) keep the
     min-value event (ties by ts), then drop rows whose successor is < 60 s
     later (midnight-wrap rule) — the exact stacking semantics
-    (reference stack.py:174-205) on relational data."""
-    e = _t(spark, sf, "events")
+    (reference stack.py:174-205) on relational data.
+
+    One exchange for both windows: events are hash-partitioned on
+    user_id up front, which satisfies the first window's (user_id, day)
+    clustering (hash on a subset of the keys) AND the second window's
+    user_id clustering — the round-5 plan paid two full exchanges, one
+    per window (guide §2.4: establish the partitioning once)."""
+    par = spark.sparkContext.defaultParallelism
+    e = _t(spark, sf, "events").repartition(max(8, 2 * par), "user_id")
     day = F.date_format("ts", "yyyy-MM-dd")
     w1 = W.partitionBy("user_id", day.alias("day")).orderBy(
         F.col("value").asc(), F.col("ts").asc(), F.col("event_id"))
@@ -215,9 +222,16 @@ def asof_signup_before_purchase(spark, sf):
 
 def range_join_error_context(spark, sf):
     """Range join (SURVEY.md §2.C5): per error event, how many events the
-    same user produced in the preceding hour."""
-    e = _t(spark, sf, "events")
-    err = e.filter(F.col("event_type") == "error").select(
+    same user produced in the preceding hour.
+
+    The error side is tiny and broadcast (Catalyst picks it up from the
+    filter); the probe side is spread across the box when the scan is
+    under-split — the testdata events table is a single-row-group file,
+    so the round-5 plan ran the entire hash-probe + range filter +
+    partial count on one core."""
+    raw = _t(spark, sf, "events")
+    e = ensure_spread(raw)
+    err = raw.filter(F.col("event_type") == "error").select(
         F.col("user_id").alias("u"), F.col("event_id").alias("err_id"),
         F.col("ts").alias("err_ts"))
     j = err.join(e, (e.user_id == err.u)
@@ -417,11 +431,19 @@ def docs_mixture_sample(spark, sf):
 
 
 def docs_pack_sequences(spark, sf):
+    """Gate note: the oracle's windowed SUM comes back from DuckDB as
+    HUGEINT -> pandas float64, while the operator's running sum is a
+    bigint.  The values are identical row for row (verified in the
+    round-5 audit); the driver hashes canonicalised values, so the gate
+    aligns the dtype to the oracle's (integer-valued doubles are exact
+    far beyond any corpus token count).  The library operator keeps its
+    integer column."""
     from .operators import sampling
 
-    return sampling.pack_sequences(_t(spark, sf, "documents"),
-                                   budget=256, n_shards=8,
-                                   group_col="source", key_col="doc_id")
+    out = sampling.pack_sequences(_t(spark, sf, "documents"),
+                                  budget=256, n_shards=8,
+                                  group_col="source", key_col="doc_id")
+    return out.withColumn("start_tok", F.col("start_tok").cast("double"))
 
 
 def embedding_quantize(spark, sf):
