@@ -391,7 +391,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     corpus scale keep the threshold tight (h <= 6 for 60-bit hashes) or
     pre-partition by a coarse key; the blocking stays recall-complete
     either way."""
-    sh = simhash(docs)  # row-local since round 6 — no checkpoint needed
+    # simhash itself is row-local since round 6, but the block table
+    # still materialises once (_once) to feed both self-join sides.  The
+    # candidate stage stays a streaming equi-join: simhash blocks are
+    # 8-9 bits wide, so bucket occupancy is corpus_size / 2^width — far
+    # beyond any per-row explode budget (a grouped collect_list +
+    # row-local C(df,2) pair explode, which works well for max_df-capped
+    # shingles, was measured 6x SLOWER here at the 100k-doc point: a few
+    # thousand-doc buckets each built multi-million-element pair arrays
+    # inside one task, where the join streams them).
+    sh = _once(simhash(docs))
     blk = F.explode(F.array(*[
         F.struct(
             F.lit(q).alias("q"),
@@ -401,25 +410,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     blocks = sh.select("doc_id", "simhash", blk.alias("b")).select(
         "doc_id", "simhash",
         F.col("b.q").alias("q"), F.col("b.block").alias("block"))
-    # candidate pairs per (q, block) bucket: one hash aggregate + a
-    # row-local ascending-pair explode (the simhash rides inside the
-    # collected struct), replacing the round-5 checkpointed sort-merge
-    # self-join of the 7x-exploded block table
-    ds = F.col("ds")
-    pair_structs = F.flatten(F.transform(
-        ds, lambda x, i: F.transform(
-            F.slice(ds, i + 2, F.size(ds)),
-            lambda y: F.struct(
-                x.getField("doc_id").alias("id1"),
-                y.getField("doc_id").alias("id2"),
-                x.getField("simhash").alias("s1"),
-                y.getField("simhash").alias("s2")))))
-    cand = (blocks.groupBy("q", "block")
-            .agg(F.array_sort(
-                F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
-            .filter(F.size("ds") >= 2)
-            .select(F.explode(pair_structs).alias("p"))
-            .select("p.id1", "p.id2", "p.s1", "p.s2").distinct())
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (a.join(b, (F.col("a.q") == F.col("b.q"))
+                   & (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id1"),
+                    F.col("b.doc_id").alias("id2"),
+                    F.col("a.simhash").alias("s1"),
+                    F.col("b.simhash").alias("s2")).distinct())
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (cand.select("id1", "id2", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
@@ -613,7 +611,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 10,
     # exact, and ``strict`` still catches a truly pathological graph at
     # max_iter).  Measured at the 100k-doc point this cut the per-round
     # shuffle count ~3.5x.
-    n_jumps = min(4, max(1, math.ceil(math.log2(max(2, n_nodes)))))
+    import os
+
+    # 3 jumps/round measured fastest at the 100k-doc point (8x path
+    # compression per round; 4 jumps paid more per-jump planning +
+    # shuffle than the extra compression saved, 2 converged slower) —
+    # env-tunable for graphs with deeper label chains at cluster scale
+    n_jumps = min(int(os.environ.get("SPARK_GRAFT_CC_JUMPS", "3")),
+                  max(1, math.ceil(math.log2(max(2, n_nodes)))))
     spark = pairs.sparkSession
     base = scratch_dir or _cc_scratch_base(spark)
     prev_spill = None

@@ -68,11 +68,20 @@ def _any_edge_cross(sa: np.ndarray, sb: np.ndarray) -> bool:
 
 def pair_overlaps(rings_a: list, rings_b: list) -> bool:
     """Exact overlap test: bbox reject -> edge crossing -> containment."""
-    pa, pb = geom.prepare(rings_a), geom.prepare(rings_b)
+    return _pair_overlaps_prepped((geom.prepare(rings_a), _edges(rings_a)),
+                                  (geom.prepare(rings_b), _edges(rings_b)))
+
+
+def _pair_overlaps_prepped(ea, eb) -> bool:
+    """:func:`pair_overlaps` over pre-built (Prepared, segments) entries —
+    the refine pass memoizes these per ordinal so a hub polygon (a huge
+    waterbody paired with hundreds of neighbours) prepares once per task
+    instead of once per pair."""
+    pa, sa = ea
+    pb, sb = eb
     if (pa.bbox[2] < pb.bbox[0] or pb.bbox[2] < pa.bbox[0]
             or pa.bbox[3] < pb.bbox[1] or pb.bbox[3] < pa.bbox[1]):
         return False
-    sa, sb = _edges(rings_a), _edges(rings_b)
     if _any_edge_cross(sa, sb):
         return True
     # No boundary crossing: overlap iff one contains the other.
@@ -139,9 +148,21 @@ def polygon_overlap_pairs(polygons: DataFrame, base_res: int = BASE_RES,
                              F.col("rings").alias("rings_b")), "ordinal_b"))
 
     def refine(batches):
+        prep: dict = {}
+
+        def get(o, rings):
+            e = prep.get(o)
+            if e is None:
+                if len(prep) >= 8192:
+                    prep.clear()
+                e = (geom.prepare(rings), _edges(rings))
+                prep[o] = e
+            return e
+
         for pdf in batches:
-            ok = [pair_overlaps(ra, rb)
-                  for ra, rb in zip(pdf.rings_a, pdf.rings_b)]
+            ok = [_pair_overlaps_prepped(get(int(oa), ra), get(int(ob), rb))
+                  for oa, ob, ra, rb in zip(pdf.ordinal_a, pdf.ordinal_b,
+                                            pdf.rings_a, pdf.rings_b)]
             yield pd.DataFrame({
                 "ordinal_a": pdf.ordinal_a.astype(np.int32),
                 "ordinal_b": pdf.ordinal_b.astype(np.int32),

@@ -71,14 +71,38 @@ def wofs_summary_rasters(tiles: DataFrame,
     """
 
     def partial(batches):
+        # Arrow-native partial pass (round 6): tile payloads are sliced
+        # zero-copy out of the Arrow binary buffer — no per-row bytes
+        # objects, no pandas materialisation of 16 KB cells (the
+        # JVM->python transfer was the dominant cost of this stage);
+        # non-'raw' payloads still decode through the codec.
+        import pyarrow as pa
+
         acc: dict = {}
-        for pdf in batches:
-            for row in pdf.itertuples():
-                arr = codec.decode(row.bytes, row.h, row.w, row.fmt)
+        for rb in batches:
+            cols = {name: rb.column(i)
+                    for i, name in enumerate(rb.schema.names)}
+            gxs = cols["gx"].to_numpy()
+            gys = cols["gy"].to_numpy()
+            hs = cols["h"].to_numpy()
+            ws = cols["w"].to_numpy()
+            fmts = cols["fmt"].to_pylist()
+            bcol = cols["bytes"]
+            bufs = bcol.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[
+                bcol.offset:bcol.offset + len(bcol) + 1]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            for k in range(rb.num_rows):
+                seg = data[offs[k]:offs[k + 1]]
+                h, w = int(hs[k]), int(ws[k])
+                if fmts[k] == "raw":
+                    arr = seg.reshape(h, w)
+                else:
+                    arr = codec.decode(seg.tobytes(), h, w, fmts[k])
                 wofl = arr & WOFL_MASK
                 wet = wofl == WET
                 clear = wet | (wofl == 0)
-                key = (int(row.gx), int(row.gy))
+                key = (int(gxs[k]), int(gys[k]))
                 ent = acc.get(key)
                 if ent is None:
                     acc[key] = [wet.astype(np.int32),
@@ -88,19 +112,26 @@ def wofs_summary_rasters(tiles: DataFrame,
                     ent[1] += clear
                     ent[2] += 1
                 if len(acc) >= flush_positions:
-                    yield _acc_to_pdf(acc)
+                    yield _acc_to_rb(acc)
                     acc = {}
         if acc:
-            yield _acc_to_pdf(acc)
+            yield _acc_to_rb(acc)
 
-    def _acc_to_pdf(acc):
-        rows = [{"gx": gx, "gy": gy,
-                 "h": np.int32(wetp.shape[0]), "w": np.int32(wetp.shape[1]),
-                 "n_t": np.int64(n),
-                 "wet": wetp.astype("<i4").tobytes(),
-                 "clear": clearp.astype("<i4").tobytes()}
-                for (gx, gy), (wetp, clearp, n) in acc.items()]
-        return pd.DataFrame(rows)
+    def _acc_to_rb(acc):
+        import pyarrow as pa
+
+        keys = list(acc.keys())
+        return pa.RecordBatch.from_arrays([
+            pa.array([gx for gx, _ in keys], pa.int32()),
+            pa.array([gy for _, gy in keys], pa.int32()),
+            pa.array([acc[k][0].shape[0] for k in keys], pa.int32()),
+            pa.array([acc[k][0].shape[1] for k in keys], pa.int32()),
+            pa.array([acc[k][2] for k in keys], pa.int64()),
+            pa.array([acc[k][0].astype("<i4").tobytes() for k in keys],
+                     pa.binary()),
+            pa.array([acc[k][1].astype("<i4").tobytes() for k in keys],
+                     pa.binary()),
+        ], ["gx", "gy", "h", "w", "n_t", "wet", "clear"])
 
     def final(key, pdf):
         h, w = int(pdf.h.iloc[0]), int(pdf.w.iloc[0])
@@ -118,7 +149,7 @@ def wofs_summary_rasters(tiles: DataFrame,
 
     partials = (with_grid_position(tiles)
                 .select("gx", "gy", "bytes", "h", "w", "fmt")
-                .mapInPandas(partial, schema=_PARTIAL_SCHEMA))
+                .mapInArrow(partial, schema=_PARTIAL_SCHEMA))
     return partials.groupBy("gx", "gy").applyInPandas(
         final, schema=RASTER_SCHEMA)
 

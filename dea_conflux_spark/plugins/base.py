@@ -150,6 +150,27 @@ class DrillSpec:
         the generic path (default)."""
         return None
 
+    def partials_grouped_raw_batch(self, raws2d: np.ndarray,
+                                   owner: np.ndarray,
+                                   scratch: dict | None = None):
+        """Optional TIME-STACK hot path: grouped partials for EVERY tile
+        of one grid slot at once.  ``raws2d`` is the (T, h*w) uint8
+        stack of T same-footprint tiles (fmt='raw' payloads); the owner
+        raster — and therefore the per-ordinal segment layout — is
+        shared by all T rows, so each per-segment count runs as ONE
+        numpy reduction over the whole stack instead of T separate
+        calls (the per-tile path pays ~1-3 us of python/numpy dispatch
+        per segment per tile, which dominates the drill UDF once the
+        owner cache is hot).
+
+        Returns ``(ordinals_out, field_arrays...)`` with one (T, n_ords)
+        int array per ``partial_fields`` entry — row t = tile t of the
+        stack, column k = ``ordinals_out[k]`` — or ``None`` to use the
+        per-tile path.  MUST be bit-identical to
+        ``partials_grouped_raw`` applied per row (the drill's golden
+        tests hold both paths to the same oracle)."""
+        return None
+
     def final_aggs(self):
         raise NotImplementedError
 

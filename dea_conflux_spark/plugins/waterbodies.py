@@ -88,6 +88,45 @@ class WaterbodiesC3(DrillSpec):
                          int(cnz(wet[a:b])))
                 for o, a, b in segs}
 
+    def partials_grouped_raw_batch(self, raws2d, owner, scratch=None):
+        # time-stack variant of partials_grouped_raw: one classify pass
+        # + one reduceat per count over ALL T tiles of the slot.  Same
+        # booleans, same integer counts — bit-identical per row.
+        oi = base.owner_index(owner, scratch)
+        if not oi:
+            return ([],)
+        lo = oi[2]
+        gix, segs = base.owner_segments(oi, scratch)
+        T = raws2d.shape[0]
+        full = base.full_tile_segment(owner.size, segs)
+        if full is not None:
+            o, n = full
+            wofl = raws2d & 0b11110011
+            wet = wofl == 128
+            ok = wet | (wofl == 0)
+            n_ok = np.count_nonzero(ok, axis=1)
+            n_wet = np.count_nonzero(wet, axis=1)
+            n_px = np.full((T, 1), n, dtype=np.int64)
+            return ([o + lo], n_px, (n - n_ok)[:, None].astype(np.int64),
+                    n_wet[:, None].astype(np.int64))
+        sa = scratch.get("segarrs") if scratch is not None else None
+        if sa is None:
+            sa = (np.fromiter((a for _, a, _ in segs), np.int64, len(segs)),
+                  np.fromiter((b - a for _, a, b in segs), np.int64,
+                              len(segs)),
+                  [o + lo for o, _, _ in segs])
+            if scratch is not None:
+                scratch["segarrs"] = sa
+        starts, lens, ords_out = sa
+        sub = raws2d[:, gix]
+        wofl = sub & 0b11110011
+        wet = wofl == 128
+        ok = wet | (wofl == 0)
+        n_ok = np.add.reduceat(ok, starts, axis=1, dtype=np.int64)
+        n_wet = np.add.reduceat(wet, starts, axis=1, dtype=np.int64)
+        n_px = np.broadcast_to(lens[None, :], (T, len(lens)))
+        return (ords_out, n_px, lens[None, :] - n_ok, n_wet)
+
     def final_aggs(self):
         from pyspark.sql import functions as F
 

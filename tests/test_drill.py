@@ -218,7 +218,9 @@ def test_drill_cogrouped_bucketed_tiles_exchange_free(spark, tiles,
     bt = spark.table("tiles_cg_bucketed")
     parts = drill_op.drill_partials_cogrouped(bt, polygons, plugin, grid)
     plan = _fmt_plan(parts)
-    assert "FlatMapCoGroupsInPandas" in plan
+    # round 6: the cogroup UDF moved to the Arrow API (zero-copy tile
+    # stacks); the plan node is FlatMapCoGroupsInArrow now
+    assert "FlatMapCoGroupsInArrow" in plan
     _assert_no_bytes_exchange_no_rings_broadcast(plan)
     got = (parts.toPandas()
            .sort_values(["poly_id", "image_id"]).reset_index(drop=True))
