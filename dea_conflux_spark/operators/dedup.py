@@ -301,22 +301,35 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
                     F.concat_ws(",", band_vals))).alias("bh")))
     # candidate pairs: ONE hash aggregate on the (band, bh) bucket key +
     # a row-local pair explode, replacing the round-5 checkpointed
-    # sort-merge self-join (two sorted Exchanges of the band table)
-    cand = (bands.groupBy("band", "bh")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-            .filter(F.size("ds") >= 2)
-            .select(F.explode(_pairs_from_sorted("ds")).alias("p"))
-            .select(F.col("p.id1").alias("id1"),
-                    F.col("p.id2").alias("id2")).distinct())
-    sizes = _once(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
+    # sort-merge self-join (two sorted Exchanges of the band table);
+    # materialised once — it feeds the doc-id prefilter AND the
+    # shared-count join
+    cand = _once(
+        bands.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(_pairs_from_sorted("ds")).alias("p"))
+        .select(F.col("p.id1").alias("id1"),
+                F.col("p.id2").alias("id2")).distinct())
+    # Semi-join prefilter (guide §3.2): only candidate docs' shingle rows
+    # enter the verification joins and the size aggregate — the round-5
+    # plan shuffled the FULL corpus shingle table twice to verify a
+    # candidate set that LSH exists to keep small.  Per-doc sizes over
+    # the semi-filtered table equal sizes over the full universe (the
+    # semi join keeps every row of a kept doc), so the Jaccard is
+    # unchanged.
+    ids = (cand.select(F.col("id1").alias("doc_id"))
+           .union(cand.select(F.col("id2").alias("doc_id"))).distinct())
+    shc = _once(sh.join(ids, "doc_id", "left_semi"))
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # shared-shingle counts for candidate pairs only: expand each pair by
     # id1's shingles (join on id1), keep rows where id2 holds the same
     # shingle (join on (id2, shingle)) — both joins are keyed on candidate
     # ids, so cost tracks the candidate set, not the corpus pair space.
     shared = (cand
-              .join(sh.select(F.col("doc_id").alias("id1"), "shingle"),
+              .join(shc.select(F.col("doc_id").alias("id1"), "shingle"),
                     "id1")
-              .join(sh.select(F.col("doc_id").alias("id2"), "shingle"),
+              .join(shc.select(F.col("doc_id").alias("id2"), "shingle"),
                     ["id2", "shingle"])
               .groupBy("id1", "id2").agg(F.count("*").alias("shared")))
     return (_jaccard_of_sizes(sizes, shared)
