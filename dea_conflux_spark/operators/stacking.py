@@ -25,7 +25,16 @@ def dedup_timeseries(df: DataFrame, key: str = "poly_id",
        EARLIER row).
 
     Ties on quality break deterministically by ``ts``.
+
+    One exchange for both windows (and for the per-polygon sink write
+    that follows in the stack paths): rows are hash-partitioned on
+    ``key`` up front, which satisfies window 1's (key, day) clustering
+    (hash on a subset of the keys), window 2's key clustering, AND the
+    sink's ``repartition(key)`` — the previous plan paid an exchange per
+    window plus the sink's.
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(max(8, 2 * par), key)
     day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
     w1 = W.partitionBy(key, day.alias("day")).orderBy(
         F.col(quality_col).asc_nulls_last(), F.col(ts_col).asc())
