@@ -480,7 +480,16 @@ def _flush_arrow(plugin: DrillSpec, out: dict):
 
 
 def _drill_rows_arrow(plugin: DrillSpec, rb, driller, out: dict) -> None:
-    """:func:`_drill_rows` over a pyarrow RecordBatch.
+    """Drill every row of one pyarrow RecordBatch into ``out``.
+
+    Rows arrive grouped by footprint (the partition-local sort / the
+    cogroup key), so consecutive same-(slot, shape, fmt) runs form a
+    TIME STACK fed to the plugin's batch kernel
+    (``partials_grouped_raw_batch``) — per-tile python/numpy dispatch is
+    paid once per run, not once per tile.  Rows in any other
+    configuration (lossy codecs, multiband plugins, malformed ids) take
+    the unchanged per-tile ``drill_one`` path; both paths are
+    bit-identical (golden-tested).
 
     The payload column stays in the Arrow buffer: a consecutive run of
     same-shape fmt='raw' tiles is a CONTIGUOUS byte region there, so
@@ -568,79 +577,6 @@ def _drill_rows_arrow(plugin: DrillSpec, rb, driller, out: dict) -> None:
             drill_one(iid, ts_idx, gx, gy,
                       data[offs[k]:offs[k + 1]].tobytes(), h, w, fmt,
                       cands, out)
-        i = j
-
-
-def _drill_rows(plugin: DrillSpec, pdf: pd.DataFrame, driller,
-                out: dict) -> None:
-    """Drill every row of one Arrow batch into ``out``.
-
-    Rows arrive grouped by footprint (the partition-local sort / the
-    cogroup key), so consecutive same-(slot, shape, fmt) runs form a
-    TIME STACK: for fmt='raw' plugins with a batch kernel the run's
-    payloads stack into one (T, h*w) matrix and every per-segment count
-    collapses to one numpy reduction over the whole stack
-    (``partials_grouped_raw_batch``) — the per-tile python/numpy
-    dispatch that dominated the hot loop once the owner cache was warm
-    is paid once per run, not once per tile.  Rows in any other
-    configuration (lossy codecs, multiband plugins, malformed ids) take
-    the unchanged per-tile ``drill_one`` path; both paths are
-    bit-identical (golden-tested)."""
-    drill_one, cands_for, owner_for, _ = driller
-    n = len(pdf)
-    if not n:
-        return
-    iids = pdf["image_id"].to_numpy()
-    gxs = pdf["gx"].to_numpy()
-    gys = pdf["gy"].to_numpy()
-    hs = pdf["h"].to_numpy()
-    ws = pdf["w"].to_numpy()
-    fmts = pdf["fmt"].to_numpy()
-    bts = pdf["bytes"].to_numpy()
-    cps = pdf["cand_polys"].to_numpy()
-    fields = plugin.partial_fields
-    i = 0
-    while i < n:
-        j = i + 1
-        while (j < n and gxs[j] == gxs[i] and gys[j] == gys[i]
-               and hs[j] == hs[i] and ws[j] == ws[i]
-               and fmts[j] == fmts[i]):
-            j += 1
-        gx, gy = int(gxs[i]), int(gys[i])
-        h, w, fmt = int(hs[i]), int(ws[i]), fmts[i]
-        cands = cands_for(gx, gy, cps[i])
-        metas = []  # (image_id, ts_idx) of well-formed rows in [i, j)
-        rows = []
-        for k in range(i, j):
-            iid = iids[k]
-            # fixed prefix t<ts>_: faster than a regex per row;
-            # malformed ids are skipped (the ledger quarantines them)
-            cut = iid.find("_")
-            if cut < 2 or iid[0] != "t" or not iid[1:cut].isdigit():
-                continue
-            metas.append((iid, int(iid[1:cut])))
-            rows.append(k)
-        if metas and fmt == "raw":
-            owner, scratch = owner_for(gx, gy, h, w, cands)
-            res = plugin.partials_grouped_raw_batch(
-                np.stack([np.frombuffer(bts[k], dtype=np.uint8)
-                          for k in rows]), owner, scratch=scratch)
-            if res is not None:
-                ords_out = res[0]
-                if ords_out:
-                    o2p = scratch["o2p"]
-                    pids = np.array([o2p[o] for o in ords_out],
-                                    dtype=object)
-                    out["poly_id"].append(np.tile(pids, len(metas)))
-                    for iid, ts_idx in metas:
-                        out["_meta"].append((iid, ts_idx, len(ords_out)))
-                    for (name, typ), arr in zip(fields, res[1:]):
-                        out[name].append(np.ascontiguousarray(
-                            arr, dtype=_DTYPES[typ]).ravel())
-                i = j
-                continue
-        for k, (iid, ts_idx) in zip(rows, metas):
-            drill_one(iid, ts_idx, gx, gy, bts[k], h, w, fmt, cands, out)
         i = j
 
 
