@@ -374,24 +374,29 @@ def bm25_topk(docs: DataFrame, query_terms=BM25_QUERY_TERMS, k: int = 10,
 
     The retrieval scorer of a training-data curation loop (query-targeted
     subcorpus extraction, contamination triage).  Plan shape at scale:
-    the tokenised corpus is materialised ONCE (``once``; the round-5
-    plan re-ran the regex tokenise for each of its THREE consumers —
-    hits, doc lengths, corpus stats — i.e. three full corpus passes)
-    and spread across the box when the scan is under-split; one explode
-    filtered to the |Q| query terms BEFORE any aggregation — the term
-    filter prunes the exploded stream to matching rows only, so the
-    shuffled tf table is O(matching doc-terms), not corpus-sized;
-    doc lengths come from a separate size() projection aggregated
-    map-side; N/avgdl is a one-row broadcast; df is a |Q|-row broadcast.
-    Per-term contributions are 6-dp pinned before the final sum so the
-    Spark and DuckDB oracles add identical doubles.  No Python anywhere.
+    the corpus is tokenised ONCE and immediately reduced row-locally to
+    ``(doc_id, dl, qtoks)`` — the doc length plus only the tokens
+    matching the |Q| query terms — and THAT narrow table is what
+    materialises (``once``) for the three consumers (hits, doc lengths,
+    corpus stats).  The round-5 plan re-ran the regex tokenise per
+    consumer (three full corpus passes); the first round-6 cut
+    materialised the full tokenised corpus, whose checkpoint bytes were
+    corpus-sized (every token array) — materialising after the
+    row-local term filter keeps the single tokenise pass while the
+    stored table is O(docs) narrow rows, ~100x fewer bytes at any
+    scale.  The explode then runs over qtoks only, so the shuffled tf
+    table is O(matching doc-terms), not corpus-sized; N/avgdl is a
+    one-row broadcast; df is a |Q|-row broadcast.  Per-term
+    contributions are 6-dp pinned before the final sum so the Spark and
+    DuckDB oracles add identical doubles.  No Python anywhere.
     """
     terms = [t.lower() for t in query_terms]
-    toks = once(ensure_spread(docs).select(
-        "doc_id", tokens_col(F.col("text")).alias("toks")))
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    hits = (toks.select("doc_id", F.explode("toks").alias("term"))
-            .filter(F.col("term").isin(terms)))
+    toksc = tokens_col(F.col("text"))
+    row = once(ensure_spread(docs).select(
+        "doc_id", F.size(toksc).alias("dl"),
+        F.filter(toksc, lambda t: t.isin(terms)).alias("qtoks")))
+    dl = row.select("doc_id", "dl")
+    hits = row.select("doc_id", F.explode("qtoks").alias("term"))
     tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = dl.agg(F.count("*").alias("n_docs"),
