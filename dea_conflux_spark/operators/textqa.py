@@ -374,45 +374,52 @@ def bm25_topk(docs: DataFrame, query_terms=BM25_QUERY_TERMS, k: int = 10,
 
     The retrieval scorer of a training-data curation loop (query-targeted
     subcorpus extraction, contamination triage).  Plan shape at scale:
-    the corpus is tokenised ONCE and immediately reduced row-locally to
-    ``(doc_id, dl, qtoks)`` — the doc length plus only the tokens
-    matching the |Q| query terms — and THAT narrow table is what
-    materialises (``once``) for the three consumers (hits, doc lengths,
-    corpus stats).  The round-5 plan re-ran the regex tokenise per
-    consumer (three full corpus passes); the first round-6 cut
-    materialised the full tokenised corpus, whose checkpoint bytes were
-    corpus-sized (every token array) — materialising after the
-    row-local term filter keeps the single tokenise pass while the
-    stored table is O(docs) narrow rows, ~100x fewer bytes at any
-    scale.  The explode then runs over qtoks only, so the shuffled tf
-    table is O(matching doc-terms), not corpus-sized; N/avgdl is a
-    one-row broadcast; df is a |Q|-row broadcast.  Per-term
-    contributions are 6-dp pinned before the final sum so the Spark and
-    DuckDB oracles add identical doubles.  No Python anywhere.
+    term frequencies against a FIXED query-term list are row-local — a
+    document's tf vector needs no explode and no (doc, term) shuffle —
+    so the corpus is tokenised ONCE and reduced in the same projection
+    to ``(doc_id, dl, tfs array<int>)`` (doc length + per-query-term
+    counts), and THAT narrow table materialises (``once``) for its two
+    consumers.  Consumer 1 is a single ONE-ROW aggregate producing
+    n_docs, avgdl and every per-term document frequency
+    (``sum(tfs[i] > 0)``) together — map-side partials, |Q|+2 numbers
+    per task; consumer 2 scores each matching document row-locally
+    against that broadcast stats row and feeds TakeOrdered(k).  The
+    round-5 plan re-ran the regex tokenise for three consumers and
+    shuffled tf/df/per-doc aggregates through three exchanges; now
+    nothing corpus-sized is ever exchanged at any scale.  Per-term
+    contributions stay 6-dp pinned before the per-document sum so the
+    Spark and DuckDB oracles add identical doubles (documents with no
+    matching term are excluded, as before — they have no tf rows in the
+    oracle's formulation).  No Python anywhere.
     """
     terms = [t.lower() for t in query_terms]
     toksc = tokens_col(F.col("text"))
     row = once(ensure_spread(docs).select(
         "doc_id", F.size(toksc).alias("dl"),
-        F.filter(toksc, lambda t: t.isin(terms)).alias("qtoks")))
-    dl = row.select("doc_id", "dl")
-    hits = row.select("doc_id", F.explode("qtoks").alias("term"))
-    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = dl.agg(F.count("*").alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)))
-    tf_part = (F.col("tf") * (F.lit(k1) + 1.0)
-               / (F.col("tf") + F.lit(k1)
-                  * (F.lit(1.0) - F.lit(b)
-                     + F.lit(b) * F.col("dl") / F.col("avgdl"))))
-    contrib = F.floor(idf * tf_part * 1000000 + F.lit(0.5)) / F.lit(1e6)
-    scored = (tf.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
-              .crossJoin(F.broadcast(stats))
-              .select("doc_id", contrib.alias("contrib")))
-    per_doc = scored.groupBy("doc_id").agg(
-        round4(F.sum("contrib")).alias("score"))
+        F.array(*[
+            F.size(F.filter(toksc, lambda t: t == F.lit(term)))
+            for term in terms]).alias("tfs")))
+    stats = row.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col("tfs")[i] > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))])
+
+    def _contrib(i):
+        tf = F.col("tfs")[i].cast("double")
+        dfreq = F.col(f"df_{i}")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - dfreq + F.lit(0.5))
+                    / (dfreq + F.lit(0.5)))
+        tf_part = (tf * (F.lit(k1) + 1.0)
+                   / (tf + F.lit(k1)
+                      * (F.lit(1.0) - F.lit(b)
+                         + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+        return F.floor(idf * tf_part * 1000000 + F.lit(0.5)) / F.lit(1e6)
+
+    per_doc = (row.filter(F.exists("tfs", lambda x: x > 0))
+               .crossJoin(F.broadcast(stats))
+               .select("doc_id", round4(
+                   sum([_contrib(i) for i in range(1, len(terms))],
+                       _contrib(0))).alias("score")))
     # top-k via orderBy().limit() — Spark plans TakeOrderedAndProject
     # (per-partition heaps + driver merge of k rows), so no global
     # single-reducer sort; the rank window then runs over k rows only
