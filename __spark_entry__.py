@@ -144,9 +144,19 @@ def _mini_poly_overlap(spark, sf_dir):
 
 
 def _mini_wofs_summary(spark, sf_dir):
+    """Gate note: the oracle's SUM(CASE ...) counts come back from
+    DuckDB as HUGEINT -> pandas float64 while the operator emits
+    bigint; values are identical, so the gate aligns the dtype to the
+    oracle's the same way docs_pack_sequences does (integer-valued
+    doubles are exact far beyond any pixel count).  The library
+    operator keeps its integer columns."""
+    from pyspark.sql import functions as F
+
     from dea_conflux_spark import minidrill
 
-    return minidrill.mini_wofs_summary(spark, sf_dir)
+    out = minidrill.mini_wofs_summary(spark, sf_dir)
+    return out.withColumn("n_wet", F.col("n_wet").cast("double")) \
+              .withColumn("n_clear", F.col("n_clear").cast("double"))
 
 
 def _mini_image_neardup(spark, sf_dir):
