@@ -1135,6 +1135,33 @@ def test_bm25_topk_vs_python(docs):
     assert out["rnk"].sort_values().tolist() == list(range(1, 6))
 
 
+def test_bm25_topk_excludes_nonmatching_docs(spark):
+    """The row-local tf-vector formulation must still exclude documents
+    with NO matching term even when fewer than k documents match (the
+    exploded-tf formulation excluded them structurally; the row-local
+    one needs its exists() filter), and must count repeated occurrences
+    of a term within one document."""
+    rows = [(1, "spark spark runs a query"),
+            (2, "nothing relevant here at all"),
+            (3, "plain text with no hits either")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textqa.bm25_topk(docs, query_terms=("spark", "query"),
+                           k=5).toPandas()
+    assert out["doc_id"].tolist() == [1]
+    assert out["rnk"].tolist() == [1]
+    # tf really is the occurrence count: doc 1 has tf(spark)=2,
+    # tf(query)=1; recompute the pinned score from scratch
+    import math
+
+    n, avgdl = 3, (5 + 5 + 6) / 3
+    score = 0.0
+    for tf, df_ct in ((2, 1), (1, 1)):
+        idf = math.log(1.0 + (n - df_ct + 0.5) / (df_ct + 0.5))
+        part = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * 5 / avgdl))
+        score += math.floor(idf * part * 1e6 + 0.5) / 1e6
+    assert out["score"].iloc[0] == math.floor(score * 1e4 + 0.5) / 1e4
+
+
 def test_kmeans_assign_vs_numpy(embeddings):
     """kmeans_assign matches a from-scratch numpy Lloyd's with the same
     deterministic init, 6-dp centroid pinning, and tie rule."""
