@@ -601,9 +601,7 @@ def drill(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
 
     if partial:
         meta_src = meta if meta is not None else tile_meta(tiles, grid)
-        flags = edge_flags_df(polygons, extents_by_ts(meta_src))
-        result = result.join(F.broadcast(flags), ["poly_id", "ts"], "left")
-        result = result.fillna(False, subset=FLAG_COLS)
+        result = attach_edge_flags(result, polygons, extents_by_ts(meta_src))
     return result
 
 
@@ -770,21 +768,17 @@ def drill_cogrouped(tiles: DataFrame, polygons: DataFrame, plugin: DrillSpec,
     result = partials.groupBy("poly_id", "ts").agg(*plugin.final_aggs())
     if partial:
         meta_src = meta if meta is not None else tile_meta(tiles, grid)
-        flags = edge_flags_df(polygons, extents_by_ts(meta_src))
-        result = result.join(F.broadcast(flags), ["poly_id", "ts"], "left")
-        result = result.fillna(False, subset=FLAG_COLS)
+        result = attach_edge_flags(result, polygons, extents_by_ts(meta_src))
     return result
 
 
-def edge_flags_df(polygons: DataFrame, extents: DataFrame) -> DataFrame:
-    """Per (poly_id, ts): in which compass directions the polygon overflows
-    the observed extent (reference drill.py:104-220 rule, numpy port).
-
-    Computed per DISTINCT extent (usually one — the grid bbox is
-    time-invariant) and joined back to the timesteps, so cost is
-    O(polygons x distinct extents), not O(polygons x timesteps); the
-    polygon pass is repartitioned so the geometry work parallelises
-    instead of riding a single-partition crossJoin."""
+def _edge_flags_per_extent(polygons: DataFrame,
+                           extents: DataFrame) -> DataFrame:
+    """(poly_id, ex0, ey0, ex1, ey1, conflux_n/s/e/w) — the edge-overflow
+    flags per (polygon, DISTINCT extent): the O(polygons x distinct
+    extents) core of the edge-flag rule (reference drill.py:104-220,
+    numpy port).  The polygon pass is repartitioned so the geometry work
+    parallelises instead of riding a single-partition crossJoin."""
     spark = polygons.sparkSession
     ext_d = extents.select("ex0", "ey0", "ex1", "ey1").distinct()
     j = (polygons.select("poly_id", "rings").crossJoin(F.broadcast(ext_d))
@@ -804,6 +798,43 @@ def edge_flags_df(polygons: DataFrame, extents: DataFrame) -> DataFrame:
                 "poly_id", "ex0", "ey0", "ex1", "ey1", "conflux_n",
                 "conflux_s", "conflux_e", "conflux_w"])
 
-    per_extent = j.mapInPandas(run, schema=schema)
+    return j.mapInPandas(run, schema=schema)
+
+
+def edge_flags_df(polygons: DataFrame, extents: DataFrame) -> DataFrame:
+    """Per (poly_id, ts): in which compass directions the polygon overflows
+    the observed extent (reference drill.py:104-220 rule, numpy port).
+
+    Computed per DISTINCT extent (usually one — the grid bbox is
+    time-invariant) and joined back to the timesteps, so compute cost is
+    O(polygons x distinct extents), not O(polygons x timesteps).  NB the
+    RESULT of this helper is O(polygons x timesteps) rows — drill()
+    attaches flags via :func:`attach_edge_flags` instead, which never
+    materialises (or broadcasts) that product."""
+    per_extent = _edge_flags_per_extent(polygons, extents)
     return (extents.join(per_extent, ["ex0", "ey0", "ex1", "ey1"])
             .select("poly_id", "ts", *FLAG_COLS))
+
+
+def attach_edge_flags(result: DataFrame, polygons: DataFrame,
+                      extents: DataFrame) -> DataFrame:
+    """Left-attach the edge flags to a (poly_id, ts)-grain result through
+    TWO tiny broadcasts — the timestep->extent map (one row per
+    timestep) and the per-(polygon, distinct extent) flag table — instead
+    of broadcasting the materialised (polygons x timesteps) flag product
+    (~6M rows / hundreds of MB at the bench config; the driver-side
+    collect + hash-relation build of that broadcast was measured as THE
+    dominant cost of the whole drill, ~11 s of an 18 s run).  Join
+    equivalence: a result row's ts resolves its extent (or null), and
+    (poly_id, extent) resolves the same flag row the materialised
+    product would have carried; misses null-fill to False exactly as
+    before."""
+    per_extent = _edge_flags_per_extent(polygons, extents)
+    ext_cols = ["ex0", "ey0", "ex1", "ey1"]
+    return (result
+            .join(F.broadcast(extents.select("ts", *ext_cols)),
+                  "ts", "left")
+            .join(F.broadcast(per_extent),
+                  ["poly_id", *ext_cols], "left")
+            .drop(*ext_cols)
+            .fillna(False, subset=FLAG_COLS))
