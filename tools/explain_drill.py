@@ -90,8 +90,9 @@ def main():
           "collect/broadcast of the layer)",
           re.search(r"collect_list\(struct\(ordinal", join_plan))
 
-    check("cogrouped huge-layer plan: Pandas cogroup stage present "
-          "(FlatMapCoGroupsInPandas)", "FlatMapCoGroupsInPandas" in cg_plan)
+    check("cogrouped huge-layer plan: Arrow cogroup stage present "
+          "(FlatMapCoGroupsInArrow; was ...InPandas before the round-6 "
+          "zero-copy port)", "FlatMapCoGroupsInArrow" in cg_plan)
     check("cogrouped huge-layer plan: NO BroadcastExchange carries rings "
           "or candidate lists, NO Exchange carries tile bytes (bucketed "
           "(gx, gy, tb) layout feeds the cogroup Exchange-free)",
